@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Backed by ``splade_spark.entry_queries.REGISTRY`` — each entry pairs a
+Spark implementation (running this repo's engine code) with an independent
+DuckDB oracle SQL. Operator coverage per SURVEY.md §2 is noted in each
+query's docstring.
 """
 
 from __future__ import annotations
@@ -15,24 +14,21 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: compressed-index BM25 engine end-to-end (build → block-max
+    WAND retrieve) on /root/testdata/sf0.001 documents."""
+    from splade_spark.entry_queries import REGISTRY
+
+    fn, _ = REGISTRY["bm25_topk_engine"]
+    return fn(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from splade_spark.entry_queries import REGISTRY
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _sql) in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from splade_spark.entry_queries import REGISTRY
+
+    return {name: sql for name, (_fn, sql) in REGISTRY.items() if sql is not None}

@@ -1,0 +1,52 @@
+"""Engine configuration.
+
+Mirrors the reference's frozen operating points (see BASELINE.md):
+- max_input_length=256 tokens (/root/reference/config/model/_base.yaml:11)
+- sparse_top_k=4096 terms/doc (/root/reference/config/encoding/_base.yaml:26)
+- sparse_min_weight=0.0, strict ``> 0`` filter
+  (/root/reference/src/indexing/sparse_index.py:65-68)
+plus the engine's own additions (posting block size, BM25 k1/b, metric
+cutoffs) that have no reference counterpart.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+# Tokenizer contract (classic path). Lowercase, keep [a-z0-9]+ runs, drop
+# empties, truncate to max_tokens. The same regex is used by the Spark
+# column expression, the NumPy oracle, and the DuckDB oracle SQL so all
+# three produce identical token streams.
+TOKEN_SPLIT_RE = "[^a-z0-9]+"
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    # tokenization — reference max_input_length=256
+    max_tokens: int = 256
+    # per-doc sparse vector cap — reference sparse_top_k=4096
+    top_k_terms: int = 4096
+    # strict > min_weight filter — reference sparse_min_weight=0.0
+    min_weight: float = 0.0
+    # BM25 (classic path impact weights; pinned in index_meta)
+    k1: float = 1.2
+    b: float = 0.75
+    # posting block: target postings per (term, block); blocks are
+    # doc_idx-range partitioned so min_doc/max_doc are disjoint per term
+    block_size: int = 4096
+    # retrieval
+    top_k: int = 10
+    # metric cutoffs — reference testing.k_list
+    k_list: tuple = (1, 5, 10, 50, 100)
+    # build parallelism hints
+    index_partitions: int = 32
+
+
+DEFAULT = EngineConfig()
+
+
+def bm25_idf_expr_sql(n_docs: str, df: str) -> str:
+    """Robertson-Sparck-Jones IDF as a SQL fragment (ANSI, runs on both
+    Spark SQL and DuckDB): ln(1 + (N - df + 0.5) / (df + 0.5))."""
+    return f"ln(1.0 + ({n_docs} - {df} + 0.5) / ({df} + 0.5))"

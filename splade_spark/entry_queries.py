@@ -1,0 +1,702 @@
+"""Driver-contract query registry: name → (spark_fn, duckdb_oracle_sql).
+
+Each entry exercises operators from SURVEY.md §2 on the driver's parquet
+tables (documents / embeddings / lineitem / ...). The Spark side runs this
+engine's code; the DuckDB SQL is an independent ANSI formulation of the
+same semantics. Column names and types are aligned on both sides (the
+driver hashes values after sorting columns by name).
+
+Floats are emitted as ``*_milli`` / ``*_micro`` BIGINTs (round(x*10^k)) so
+double-vs-double sum-order noise cannot flip a value hash.
+
+Operator coverage per query is noted in each docstring by SURVEY §2 IDs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .config import DEFAULT, EngineConfig
+from .functions.tokenize import tokens_col, tokens_sparksql, tokens_sql
+
+REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
+
+
+def register(name: str, sql: str | None):
+    def deco(fn):
+        REGISTRY[name] = (fn, sql)
+        return fn
+    return deco
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# BM25 / index family (documents table)
+# ---------------------------------------------------------------------------
+
+# fixed literal query set over the documents vocabulary
+BM25_QUERIES: list[tuple[str, str]] = [
+    ("q01", "hash join strategy"),
+    ("q02", "table scan filter"),
+    ("q03", "sort merge partition"),
+    ("q04", "spark window query"),
+    ("q05", "stream batch data value"),
+    ("q06", "customer order line"),
+    ("q07", "vector column scan fast"),
+    ("q08", "slow group agg"),
+    ("q09", "the big small row"),
+    ("q10", "key data merge nosuchtokenxyz"),
+]
+
+K1, B = DEFAULT.k1, DEFAULT.b
+TOPK = 10
+
+_QVALUES_SQL = ", ".join(f"('{q}', '{t}')" for q, t in BM25_QUERIES)
+
+# Shared BM25 formulation; {TOK} differs per dialect. Tie rule mirrors the
+# engine: score desc, then doc_id AS STRING asc (the engine's doc_idx is
+# the rank of the stringified doc_id — SURVEY §4.3.5).
+_BM25_BODY = f"""
+WITH tok AS (
+  SELECT doc_id, {{UNNEST}}({{TOK}}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (
+  SELECT avg(dl) AS avgdl, (SELECT count(*) FROM documents) AS n_docs FROM dl
+),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+qtok AS (
+  SELECT query_id, {{UNNEST}}({{QTOK}}) AS term
+  FROM (VALUES {_QVALUES_SQL}) AS q(query_id, qtext)
+),
+qterms AS (SELECT query_id, term, count(*) AS qtf FROM qtok GROUP BY query_id, term),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(q.qtf * ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * ({K1} + 1.0)
+             / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl))) AS score
+  FROM qterms q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY score DESC, CAST(doc_id AS {{STR}}) ASC
+         ) AS rank
+  FROM scored
+)
+"""
+
+_BM25_SQL_DUCK = (
+    _BM25_BODY.replace("{TOK}", tokens_sql("text"))
+    .replace("{QTOK}", tokens_sql("qtext"))
+    .replace("{STR}", "VARCHAR").replace("{UNNEST}", "unnest")
+    + f"""
+SELECT query_id, CAST(rank AS INT) AS rank, doc_id,
+       CAST(round(score * 1000) AS BIGINT) AS score_milli
+FROM ranked WHERE rank <= {TOPK}
+"""
+)
+
+_BM25_SQL_DUCK_RANKONLY = (
+    _BM25_BODY.replace("{TOK}", tokens_sql("text"))
+    .replace("{QTOK}", tokens_sql("qtext"))
+    .replace("{STR}", "VARCHAR").replace("{UNNEST}", "unnest")
+    + f"SELECT query_id, CAST(rank AS INT) AS rank, doc_id FROM ranked WHERE rank <= {TOPK}"
+)
+
+_BM25_SQL_SPARK = (
+    _BM25_BODY.replace("{TOK}", tokens_sparksql("text"))
+    .replace("{QTOK}", tokens_sparksql("qtext"))
+    .replace("{STR}", "STRING").replace("{UNNEST}", "explode")
+    + f"""
+SELECT query_id, CAST(rank AS INT) AS rank, doc_id,
+       CAST(round(score * 1000) AS BIGINT) AS score_milli
+FROM ranked WHERE rank <= {TOPK}
+"""
+)
+
+
+@register("bm25_sql_topk", _BM25_SQL_DUCK)
+def bm25_sql_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full BM25 ranking as one declarative Spark SQL plan (F1, A2, A5, A1,
+    J1, W1, O4 — Catalyst chooses broadcast/sort-merge, both aggs get
+    map-side partial aggregation)."""
+    _docs(spark, sf_dir).createOrReplaceTempView("documents")
+    return spark.sql(_BM25_SQL_SPARK)
+
+
+@register("bm25_topk_engine", _BM25_SQL_DUCK_RANKONLY)
+def bm25_topk_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The compressed-index engine end-to-end (S5/S8 build, J1+A1 scoring,
+    W1 top-k, WAND pruning): build index → block-max retrieve → ranks.
+    Independent DuckDB BM25 SQL is the oracle; scores are float32 in the
+    engine so only (query_id, rank, doc_id) is compared."""
+    from .operators.indexing import build_index
+    from .operators.query import retrieve
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    idx = build_index(docs, id_col="doc_id", text_col="text")
+    queries = spark.createDataFrame(BM25_QUERIES, "query_id string, text string")
+    res = retrieve(idx, queries, k=TOPK, strategy="wand")
+    return res.select(
+        "query_id", F.col("rank").cast("int").alias("rank"),
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+    )
+
+
+@register(
+    "corpus_stats",
+    f"""
+WITH tok AS (SELECT doc_id, unnest({tokens_sql('text')}) AS term FROM documents),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id)
+SELECT (SELECT count(*) FROM documents) AS n_docs,
+       CAST(round(avg(dl) * 1000000) AS BIGINT) AS avgdl_micro,
+       CAST(sum(dl) AS BIGINT) AS total_tokens,
+       (SELECT count(DISTINCT term) FROM tok) AS vocab_size
+FROM dl
+""",
+)
+def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus aggregates (A7: doc_count/nnz totals; S1 scan)."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", tokens_col("text").alias("toks")
+    )
+    dl = toks.select("doc_id", F.size("toks").alias("dl"))
+    vocab = toks.select(F.explode("toks").alias("term")).agg(
+        F.countDistinct("term").alias("vocab_size")
+    )
+    agg = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("dl") * 1e6).cast("bigint").alias("avgdl_micro"),
+        F.sum("dl").cast("bigint").alias("total_tokens"),
+    )
+    return agg.crossJoin(vocab)
+
+
+@register(
+    "doc_stats",
+    f"""
+WITH tok AS (
+  SELECT doc_id, unnest({tokens_sql('text')}) AS term FROM documents WHERE doc_id < 100
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS dl,
+       CAST(count(DISTINCT term) AS BIGINT) AS n_terms
+FROM tok GROUP BY doc_id
+""",
+)
+def doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc token stats (P1/P5 projection+filter pushed to scan, A5)."""
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 100)
+    t = docs.select("doc_id", F.explode(tokens_col("text")).alias("term"))
+    return t.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("dl"),
+        F.countDistinct("term").cast("bigint").alias("n_terms"),
+    )
+
+
+@register(
+    "term_df_top100",
+    f"""
+WITH tok AS (SELECT doc_id, unnest({tokens_sql('text')}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term)
+SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS total_tf
+FROM tf GROUP BY term ORDER BY df DESC, term ASC LIMIT 100
+""",
+)
+def term_df_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-frequency pass (A2) + deterministic top-N (O4/O6)."""
+    docs = _docs(spark, sf_dir)
+    tf = (
+        docs.select("doc_id", F.explode(tokens_col("text")).alias("term"))
+        .groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("df"),
+             F.sum("tf").cast("bigint").alias("total_tf"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(100)
+    )
+
+
+@register(
+    "idf_top100",
+    f"""
+WITH tok AS (SELECT doc_id, unnest({tokens_sql('text')}) AS term FROM documents),
+dt AS (SELECT DISTINCT doc_id, term FROM tok),
+df AS (SELECT term, count(*) AS df FROM dt GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT term, CAST(df AS BIGINT) AS df,
+       CAST(round(ln(1.0 + (n.n_docs - df + 0.5) / (df + 0.5)) * 1000000) AS BIGINT) AS idf_micro
+FROM df CROSS JOIN n ORDER BY df DESC, term ASC LIMIT 100
+""",
+)
+def idf_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 IDF computation (F3 classic analogue) over the DF pass (A2)."""
+    docs = _docs(spark, sf_dir)
+    n_docs = docs.count()
+    dt = docs.select("doc_id", F.explode(tokens_col("text")).alias("term")).distinct()
+    df = dt.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        df.select(
+            "term", F.col("df").cast("bigint").alias("df"),
+            F.round(
+                F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+                * 1e6
+            ).cast("bigint").alias("idf_micro"),
+        )
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup / fingerprint family
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    """
+WITH h AS (SELECT md5(lower(text)) AS fp FROM documents),
+g AS (SELECT fp, count(*) AS c FROM h GROUP BY fp)
+SELECT CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(coalesce(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_dup_groups,
+       CAST(coalesce(sum(CASE WHEN c > 1 THEN c ELSE 0 END), 0) AS BIGINT) AS n_dup_docs
+FROM g
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash (hash-groupBy; map-side partial agg)."""
+    docs = _docs(spark, sf_dir)
+    g = docs.select(F.md5(F.lower("text")).alias("fp")).groupBy("fp").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.coalesce(F.sum(F.when(F.col("c") > 1, 1).otherwise(0)), F.lit(0))
+        .cast("bigint").alias("n_dup_groups"),
+        F.coalesce(F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)), F.lit(0))
+        .cast("bigint").alias("n_dup_docs"),
+    )
+
+
+@register(
+    "doc_fingerprint",
+    f"""
+SELECT doc_id, md5(array_to_string({tokens_sql('text')}, ' ')) AS fp
+FROM documents WHERE doc_id < 100
+""",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized document fingerprint (tokenize → canonical join → md5)."""
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 100)
+    return docs.select(
+        "doc_id",
+        F.md5(F.array_join(tokens_col("text"), " ")).alias("fp"),
+    )
+
+
+N_MINHASH = 8
+MINHASH_BANDS = 4  # bands of 2 hashes
+MINHASH_MAX_DOC = 500  # cap compared docs so the pair join stays bounded
+
+# word 3-gram shingles from the shared tokenizer, as SQL (DuckDB): 1-based
+_SHINGLES_DUCK = (
+    f"list_transform(range(1, len({tokens_sql('text')}) - 1), "
+    f"j -> {tokens_sql('text')}[j] || ' ' || {tokens_sql('text')}[j+1] || ' ' || {tokens_sql('text')}[j+2])"
+)
+
+
+def _shingles_col():
+    """array<string> of word 3-gram shingles (Spark Column, JVM-side).
+    Guarded: Spark's sequence(1, 0) would count DOWN, so short docs get an
+    explicit empty array."""
+    toks = tokens_col("text")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 2),
+        lambda j: F.concat_ws(
+            " ",
+            F.element_at(toks, j),
+            F.element_at(toks, j + 1),
+            F.element_at(toks, j + 2),
+        ),
+    )
+    return F.when(F.size(toks) >= 3, grams).otherwise(F.array().cast("array<string>"))
+
+
+@register(
+    "minhash_band_pairs",
+    f"""
+WITH sh AS (
+  SELECT doc_id, unnest({_SHINGLES_DUCK}) AS term
+  FROM documents WHERE doc_id < {MINHASH_MAX_DOC}
+),
+dt AS (SELECT DISTINCT doc_id, term FROM sh),
+hi AS (SELECT unnest(range({N_MINHASH})) AS i),
+mh AS (
+  SELECT doc_id, i, min(md5(term || ':' || CAST(i AS VARCHAR))) AS h
+  FROM dt CROSS JOIN hi GROUP BY doc_id, i
+),
+bands AS (
+  SELECT doc_id, CAST(i // 2 AS INT) AS band,
+         md5(string_agg(h, '|' ORDER BY i)) AS bh
+  FROM mh GROUP BY doc_id, CAST(i // 2 AS INT)
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+WHERE a.doc_id < b.doc_id
+""",
+)
+def minhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates: 3-gram shingle → minhash → band →
+    bucket-join. Portable hash = md5(shingle:i) so Spark and DuckDB agree
+    bit-for-bit."""
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < MINHASH_MAX_DOC)
+    dt = docs.select("doc_id", F.explode(_shingles_col()).alias("term")).distinct()
+    hi = spark.range(N_MINHASH).select(F.col("id").cast("int").alias("i"))
+    mh = (
+        dt.crossJoin(F.broadcast(hi))
+        .select(
+            "doc_id", "i",
+            F.md5(F.concat_ws(":", "term", F.col("i").cast("string"))).alias("hv"),
+        )
+        .groupBy("doc_id", "i").agg(F.min("hv").alias("h"))
+    )
+    bands = (
+        mh.withColumn("band", (F.col("i") / 2).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.sort_array(F.collect_list(F.struct("i", "h"))),
+                        lambda s: s["h"],
+                    ),
+                    "|",
+                )
+            ).alias("bh")
+        )
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh")))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis family
+# ---------------------------------------------------------------------------
+
+STOPWORDS = ("the", "a", "of", "to", "and", "in", "is")
+_SW_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+@register(
+    "text_quality",
+    f"""
+WITH t AS (
+  SELECT doc_id, {tokens_sql('text')} AS toks, text FROM documents WHERE doc_id < 200
+)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(round(CASE WHEN len(toks) > 0
+            THEN list_sum(list_transform(toks, x -> len(x))) * 1000.0 / len(toks)
+            ELSE 0 END) AS BIGINT) AS mean_tok_len_milli,
+       CAST(round(CASE WHEN len(toks) > 0
+            THEN len(list_filter(toks, x -> x IN ({_SW_SQL}))) * 1000.0 / len(toks)
+            ELSE 0 END) AS BIGINT) AS stopword_ratio_milli,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM t
+""",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length / stopword-ratio features (F.* only)."""
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+    t = docs.select("doc_id", "text", tokens_col("text").alias("toks"))
+    n = F.size("toks")
+    tok_len_sum = F.aggregate(
+        F.transform("toks", lambda x: F.length(x)), F.lit(0), lambda acc, x: acc + x
+    )
+    sw = F.size(F.filter("toks", lambda x: x.isin(*STOPWORDS)))
+    return t.select(
+        "doc_id",
+        n.cast("bigint").alias("n_tokens"),
+        F.when(n > 0, F.round(tok_len_sum * 1000.0 / n)).otherwise(0)
+        .cast("bigint").alias("mean_tok_len_milli"),
+        F.when(n > 0, F.round(sw * 1000.0 / n)).otherwise(0)
+        .cast("bigint").alias("stopword_ratio_milli"),
+        F.length("text").cast("bigint").alias("n_chars"),
+    )
+
+
+@register(
+    "token_counts",
+    f"""
+SELECT doc_id,
+       CAST(len({tokens_sql('text')}) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct({tokens_sql('text')})) AS BIGINT) AS n_distinct,
+       CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_ws_tokens
+FROM documents WHERE doc_id < 200
+""",
+)
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting, regex + whitespace variants (F1)."""
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+    toks = tokens_col("text")
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct"),
+        F.size(F.split(F.trim("text"), r"\s+")).cast("bigint").alias("n_ws_tokens"),
+    )
+
+
+@register(
+    "lang_id_heuristic",
+    f"""
+WITH t AS (
+  SELECT doc_id, lang, {tokens_sql('text')} AS toks FROM documents WHERE doc_id < 200
+),
+s AS (
+  SELECT doc_id, lang,
+         len(list_filter(toks, x -> x IN ({_SW_SQL}))) AS en_hits,
+         len(toks) AS n
+  FROM t
+)
+SELECT doc_id, lang AS labeled_lang,
+       CASE WHEN n > 0 AND en_hits * 100 >= n * 2 THEN 'en' ELSE 'unknown' END AS pred_lang
+FROM s
+""",
+)
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram/stopword language-ID heuristic (threshold: ≥2% EN stopwords)."""
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+    t = docs.select("doc_id", "lang", tokens_col("text").alias("toks"))
+    hits = F.size(F.filter("toks", lambda x: x.isin(*STOPWORDS)))
+    n = F.size("toks")
+    return t.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        F.when((n > 0) & (hits * 100 >= n * 2), "en").otherwise("unknown").alias("pred_lang"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search family (embeddings table)
+# ---------------------------------------------------------------------------
+
+ANN_K = 5
+ANN_NQ = 5
+
+
+@register(
+    "ann_cosine_topk",
+    f"""
+WITH e AS (
+  SELECT vec_id, unnest(embedding) AS v,
+         unnest(range(1, len(embedding) + 1)) AS pos
+  FROM embeddings
+),
+norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY vec_id),
+q AS (SELECT * FROM e WHERE vec_id < {ANN_NQ}),
+dots AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS vec_id, sum(q.v * e.v) AS dot
+  FROM q JOIN e ON q.pos = e.pos AND q.vec_id <> e.vec_id
+  GROUP BY q.vec_id, e.vec_id
+),
+cos AS (
+  SELECT d.query_id, d.vec_id, d.dot / (nq.nrm * nv.nrm) AS c
+  FROM dots d
+  JOIN norms nq ON nq.vec_id = d.query_id
+  JOIN norms nv ON nv.vec_id = d.vec_id
+),
+ranked AS (
+  SELECT query_id, vec_id, c,
+         row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id ASC) AS rank
+  FROM cos
+)
+SELECT query_id, CAST(rank AS INT) AS rank, vec_id,
+       CAST(round(c * 1000000) AS BIGINT) AS cos_micro
+FROM ranked WHERE rank <= {ANN_K}
+""",
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k ANN baseline (F5 dot product, W1 top-k).
+    JVM-side: zip_with + aggregate, no Python."""
+    emb = _t(spark, sf_dir, "embeddings")
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    norm = F.sqrt(dot(F.col("embedding"), F.col("embedding")))
+    e = emb.select("vec_id", "embedding", norm.alias("nrm"))
+    q = e.filter(F.col("vec_id") < ANN_NQ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    pairs = e.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("query_id"))
+    cos = pairs.select(
+        "query_id", "vec_id",
+        (dot(F.col("qe"), F.col("embedding")) / (F.col("qn") * F.col("nrm"))).alias("c"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("c"), F.asc("vec_id"))
+    return (
+        cos.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= ANN_K)
+        .select(
+            "query_id", F.col("rank").cast("int").alias("rank"), "vec_id",
+            F.round(F.col("c") * 1e6).cast("bigint").alias("cos_micro"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Relational coverage (TPC-H-ish tables) — generic engine operators
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "lineitem_pricing_agg",
+    """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+       CAST(round(sum(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT) AS revenue_centi,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def lineitem_pricing_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style hash aggregate with pushed-down filter (A1/A7/P1)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= "1998-09-02 00:00:00"
+    )
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").cast("bigint").alias("sum_qty"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100)
+        .cast("bigint").alias("revenue_centi"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+    )
+
+
+@register(
+    "top_orders_per_priority",
+    """
+WITH r AS (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         row_number() OVER (
+           PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC
+         ) AS rank
+  FROM orders
+)
+SELECT o_orderpriority, CAST(rank AS INT) AS rank, o_orderkey,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS totalprice_centi
+FROM r WHERE rank <= 5
+""",
+)
+def top_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k via window (W1 pattern)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "o_orderpriority", F.col("rank").cast("int").alias("rank"), "o_orderkey",
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("totalprice_centi"),
+        )
+    )
+
+
+@register(
+    "customer_order_coverage",
+    """
+WITH big AS (SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 150000)
+SELECT n.n_name,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(CASE WHEN b.o_custkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_with_big_order,
+       CAST(sum(CASE WHEN b.o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_without
+FROM customer c
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+LEFT JOIN big b ON b.o_custkey = c.c_custkey
+GROUP BY n.n_name
+""",
+)
+def customer_order_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi/anti-join coverage split + broadcast dimension join (P3/P7/J2/U4)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    big = o.filter(F.col("o_totalprice") > 150000).select("o_custkey").distinct()
+    withb = (
+        c.join(big, c.c_custkey == big.o_custkey, "left_semi")
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name").agg(F.count(F.lit(1)).alias("n_with_big_order"))
+    )
+    total = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name").agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
+    )
+    return total.join(withb, "n_name", "left").select(
+        "n_name", "n_customers",
+        F.coalesce(F.col("n_with_big_order"), F.lit(0)).cast("bigint").alias("n_with_big_order"),
+        (F.col("n_customers") - F.coalesce(F.col("n_with_big_order"), F.lit(0)))
+        .cast("bigint").alias("n_without"),
+    )
+
+
+@register(
+    "events_running_sum",
+    """
+SELECT event_id, user_id,
+       CAST(round(sum(value) OVER (
+         PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) * 1000) AS BIGINT) AS running_milli
+FROM events WHERE user_id < 20
+""",
+)
+def events_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-spec window running aggregate (A3 prefix-sum analogue)."""
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "event_id", "user_id",
+        F.round(F.sum("value").over(w) * 1000).cast("bigint").alias("running_milli"),
+    )

@@ -1,0 +1,277 @@
+"""Inverted-index build: corpus → compressed, block-structured postings.
+
+Reference semantics reproduced (SURVEY.md §3.2):
+- pass-1 document-frequency counts
+  (/root/reference/src/indexing/sparse_index.py:621-632) → ``groupBy(term).count``
+- pass-2 postings gather, ascending doc order within a term
+  (/root/reference/src/indexing/sparse_index.py:591-611,638-658) →
+  shuffle on (term_id, block_id) + ``sort_array(collect_list(...))``
+- strict ``weight > min_weight`` filter
+  (/root/reference/src/indexing/sparse_index.py:65-68)
+- per-doc top-k term cap (/root/reference/src/indexing/sparse_index.py:128-158)
+- index metadata snapshot (/root/reference/script/index.py:104-123)
+
+Engine additions (north rule, not in the reference):
+- BM25 impact weights precomputed at index time so query-time accumulation
+  is the reference's plain dot product (SURVEY.md §4.3.1)
+- skew-split: a term with df > block_size is split into multiple blocks by
+  contiguous doc_idx RANGE — `block_id = doc_idx // range_per_block` with
+  `n_blocks = ceil(df / block_size)`. The composite shuffle key
+  (term_id, block_id) is exactly a salted repartition-by-term where the
+  salt is derived from df: head terms (df ≈ corpus size) fan out over
+  many reducers instead of OOMing one task, and blocks keep disjoint
+  doc ranges so min_doc/max_doc pruning and delta encoding stay tight.
+- delta+varint compressed blocks with (min_doc, max_doc, max_weight)
+  block-max metadata; blocks laid out impact-ordered (desc max_weight)
+  within a term (SURVEY.md §2.6 O2 — documented layout deviation).
+- per-partition lineage checkpoints → resumable builds (see checkpoint.py).
+
+At 100 TB: the only wide shuffles are groupBy(url/term) aggregations and
+the (term_id, block_id) block build — all key-partitioned hash aggregates
+with map-side partial aggregation; the dimension joins (doc_dim, term
+stats) are plain equi-joins that AQE turns into broadcasts when small and
+sort-merge when not.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import time
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from ..config import DEFAULT, EngineConfig
+from ..functions.codec import encode_block
+from ..functions.tokenize import tokens_col
+from .ids import assign_global_ids
+
+POSTINGS_SCHEMA = (
+    "term_id BIGINT, block_id INT, n_postings INT, min_doc BIGINT, "
+    "max_doc BIGINT, max_weight FLOAT, doc_gaps BINARY, weights BINARY"
+)
+
+
+@dataclass
+class InvertedIndex:
+    """Handle over the index tables (all DataFrames, nothing collected)."""
+
+    postings: DataFrame      # POSTINGS_SCHEMA
+    term_dict: DataFrame     # term string, term_id long, df long, idf double
+    doc_dim: DataFrame       # doc_idx long, doc_id string, dl int
+    meta: dict               # n_docs, avgdl, k1, b, ... (small, driver-side)
+
+    def save(self, out_dir: str) -> None:
+        (self.postings
+         .repartition(int(self.meta["index_partitions"]), "term_id")
+         .sortWithinPartitions("term_id", F.desc("max_weight"))  # impact-ordered
+         .write.mode("overwrite").parquet(os.path.join(out_dir, "postings")))
+        self.term_dict.write.mode("overwrite").parquet(os.path.join(out_dir, "term_dict"))
+        self.doc_dim.write.mode("overwrite").parquet(os.path.join(out_dir, "doc_dim"))
+        with open(os.path.join(out_dir, "index_meta.json"), "w") as f:
+            json.dump(self.meta, f, indent=2, sort_keys=True)
+
+    @classmethod
+    def load(cls, spark: SparkSession, out_dir: str) -> "InvertedIndex":
+        with open(os.path.join(out_dir, "index_meta.json")) as f:
+            meta = json.load(f)
+        return cls(
+            postings=spark.read.parquet(os.path.join(out_dir, "postings")),
+            term_dict=spark.read.parquet(os.path.join(out_dir, "term_dict")),
+            doc_dim=spark.read.parquet(os.path.join(out_dir, "doc_dim")),
+            meta=meta,
+        )
+
+
+def doc_term_frequencies(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    cfg: EngineConfig = DEFAULT,
+) -> tuple[DataFrame, DataFrame]:
+    """(tf, doc_len): tf = (doc_id, term, tf int), doc_len = (doc_id, dl int).
+
+    Tokenization is a pure Catalyst expression (whole-stage codegen); the
+    explode+groupBy is the A5 bag-of-words aggregation
+    (/root/reference/src/model/retriever/sparse/neural/splade.py:243-265).
+    """
+    toks = docs.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        tokens_col(text_col, cfg.max_tokens).alias("tokens"),
+    )
+    doc_len = toks.select("doc_id", F.size("tokens").cast("int").alias("dl"))
+    tf = (
+        toks.select("doc_id", F.explode("tokens").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("int").alias("tf"))
+    )
+    return tf, doc_len
+
+
+def build_index(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    cfg: EngineConfig = DEFAULT,
+    weighted_terms: DataFrame | None = None,
+) -> InvertedIndex:
+    """Build the full index from a corpus DataFrame.
+
+    If ``weighted_terms`` is given it must be (doc_id string, term string,
+    weight float) — e.g. a SPLADE-style expansion (expander.py) — and BM25
+    impact computation is skipped (the expansion already carries weights);
+    otherwise classic BM25 impacts are computed from term frequencies.
+    """
+    spark = docs.sparkSession
+
+    tf, doc_len = doc_term_frequencies(docs, id_col, text_col, cfg)
+
+    # deterministic global doc numbering: ascending doc_id (SURVEY §4.3.5)
+    doc_dim = assign_global_ids(
+        doc_len.withColumnRenamed("doc_id", "doc_id"), key="doc_id",
+        id_col="doc_idx", num_partitions=cfg.index_partitions,
+    ).select("doc_idx", "doc_id", "dl")
+
+    stats = doc_len.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"),
+        F.sum("dl").alias("total_tokens"),
+    ).collect()[0]
+    if stats["n_docs"] == 0 or stats["avgdl"] is None:
+        raise ValueError("build_index: corpus is empty — nothing to index")
+    n_docs, avgdl = int(stats["n_docs"]), float(stats["avgdl"])
+
+    if weighted_terms is None:
+        source = tf
+    else:
+        source = weighted_terms
+
+    # pass 1 — document frequency per term (sparse_index.py:621-632)
+    df_counts = source.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # dictionary-code terms: deterministic term_id = rank of term asc
+    term_dict = assign_global_ids(
+        df_counts, key="term", id_col="term_id",
+        num_partitions=cfg.index_partitions,
+    ).select(
+        "term_id", "term", "df",
+        F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)).alias("idf"),
+    )
+
+    if weighted_terms is None:
+        # BM25 impact weight per (doc, term): idf * tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl))
+        k1, b = float(cfg.k1), float(cfg.b)
+        joined = (
+            source.join(doc_dim.select("doc_id", "doc_idx", "dl"), "doc_id")
+            .join(term_dict.select("term", "term_id", "df", "idf"), "term")
+        )
+        weighted = joined.select(
+            "term_id", "doc_idx",
+            (
+                F.col("idf") * F.col("tf") * (k1 + 1.0)
+                / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl)))
+            ).cast("float").alias("weight"),
+            "df",
+        )
+    else:
+        joined = (
+            source.join(doc_dim.select("doc_id", "doc_idx"), "doc_id")
+            .join(term_dict.select("term", "term_id", "df"), "term")
+        )
+        weighted = joined.select(
+            "term_id", "doc_idx", F.col("weight").cast("float").alias("weight"), "df"
+        )
+
+    # strict > min_weight filter (sparse_index.py:65-68)
+    weighted = weighted.filter(F.col("weight") > float(cfg.min_weight))
+
+    # per-doc top-k cap (sparse_index.py:128-158). With classic tokenize at
+    # max_tokens=256 a doc has ≤256 distinct terms so the 4096 cap never
+    # binds — skip the window shuffle entirely in that case.
+    if cfg.top_k_terms < cfg.max_tokens:
+        w = Window.partitionBy("doc_idx").orderBy(F.desc("weight"), F.asc("term_id"))
+        weighted = (
+            weighted.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= cfg.top_k_terms)
+            .drop("_rn")
+        )
+
+    postings = build_posting_blocks(weighted, n_docs, cfg)
+
+    nnz = postings.agg(F.sum("n_postings")).collect()[0][0]
+    meta = {
+        "format": "splade_spark.postings.v1",
+        "n_docs": n_docs,
+        "avgdl": avgdl,
+        "total_tokens": int(stats["total_tokens"]),
+        "nnz": int(nnz or 0),
+        "k1": cfg.k1,
+        "b": cfg.b,
+        "block_size": cfg.block_size,
+        "max_tokens": cfg.max_tokens,
+        "min_weight": cfg.min_weight,
+        "top_k_terms": cfg.top_k_terms,
+        "tokenizer": "lower_alnum_v1",
+        "weighting": "bm25" if weighted_terms is None else "external",
+        "index_partitions": cfg.index_partitions,
+        # sparsify settings frozen into metadata and mirrored at query time,
+        # as the reference does (script/index.py:111-121, retrieval.py:133-144)
+    }
+    return InvertedIndex(postings=postings, term_dict=term_dict,
+                         doc_dim=doc_dim, meta=meta)
+
+
+def build_posting_blocks(
+    weighted: DataFrame, n_docs: int, cfg: EngineConfig = DEFAULT
+) -> DataFrame:
+    """(term_id, doc_idx, weight, df) → compressed block rows.
+
+    The shuffle key is (term_id, block_id): block_id is a doc-range split
+    sized from df, so head terms scatter across ceil(df/block_size)
+    reducers — this IS the salted repartition-by-term + skew split.
+    """
+    bs = int(cfg.block_size)
+    # n_blocks = ceil(df / block_size); range_per_block = ceil(n_docs / n_blocks)
+    blocks = weighted.withColumn(
+        "_nb", F.ceil(F.col("df") / F.lit(bs)).cast("long")
+    ).withColumn(
+        "_rpb", F.ceil(F.lit(int(n_docs)) / F.col("_nb")).cast("long")
+    ).withColumn(
+        "block_id", (F.col("doc_idx") / F.col("_rpb")).cast("int")
+    )
+
+    grouped = blocks.groupBy("term_id", "block_id").agg(
+        F.sort_array(F.collect_list(F.struct("doc_idx", "weight"))).alias("plist"),
+        F.count(F.lit(1)).cast("int").alias("n_postings"),
+        F.min("doc_idx").alias("min_doc"),
+        F.max("doc_idx").alias("max_doc"),
+        F.max("weight").alias("max_weight"),
+    )
+
+    @F.pandas_udf("doc_gaps binary, weights binary")
+    def encode_udf(docs: pd.Series, ws: pd.Series) -> pd.DataFrame:
+        gaps_out, w_out = [], []
+        for d, w in zip(docs, ws):
+            g, wb = encode_block(
+                np.asarray(d, dtype=np.int64), np.asarray(w, dtype=np.float32)
+            )
+            gaps_out.append(g)
+            w_out.append(wb)
+        return pd.DataFrame({"doc_gaps": gaps_out, "weights": w_out})
+
+    enc = grouped.select(
+        "term_id", "block_id", "n_postings", "min_doc", "max_doc", "max_weight",
+        encode_udf(
+            F.col("plist").getField("doc_idx"), F.col("plist").getField("weight")
+        ).alias("_enc"),
+    )
+    return enc.select(
+        "term_id", "block_id", "n_postings", "min_doc", "max_doc", "max_weight",
+        F.col("_enc.doc_gaps").alias("doc_gaps"),
+        F.col("_enc.weights").alias("weights"),
+    )

@@ -1,0 +1,136 @@
+"""NumPy reference oracle — a single-process reimplementation of the
+reference's index-build + scoring semantics, used only by pytest.
+
+Mirrors (semantics, not code):
+- two-pass index build: DF counts then counting-sort postings fill
+  (/root/reference/src/indexing/sparse_index.py:614-658)
+- score accumulation `scores[doc] += q_w * d_w` in float32
+  (/root/reference/src/indexing/sparse_index.py:661-686)
+- per-query top-k, ties broken by ascending doc_idx — the documented
+  deterministic tightening of the reference's unstable argsort
+  (/root/reference/src/indexing/sparse_index.py:735-748, SURVEY.md §4.3.2)
+- bag-of-words query encoding with exclusions
+  (/root/reference/src/model/retriever/sparse/neural/splade.py:243-265)
+
+The classic path assigns BM25 impact weights at index time so the
+accumulation operator is identical to the reference's dot-product
+(SURVEY.md §4.3.1).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import numpy as np
+
+from .config import DEFAULT, EngineConfig
+from .functions.tokenize import tokenize_py
+
+
+@dataclass
+class OracleIndex:
+    doc_ids: list[str]              # doc_idx -> external id (sorted order)
+    vocab: dict[str, int]           # term -> term_id (sorted terms)
+    terms: list[str]
+    df: np.ndarray                  # per term_id
+    dl: np.ndarray                  # per doc_idx
+    avgdl: float
+    n_docs: int
+    postings: dict[int, tuple[np.ndarray, np.ndarray]]  # term_id -> (doc_idx asc, w f32)
+    cfg: EngineConfig
+
+
+def bm25_idf(n_docs: int, df: int) -> float:
+    return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+
+
+def bm25_weight(tf: int, dl: int, avgdl: float, n_docs: int, df: int,
+                k1: float, b: float) -> float:
+    idf = bm25_idf(n_docs, df)
+    return idf * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+
+
+def build_oracle_index(docs: list[tuple[str, str]],
+                       cfg: EngineConfig = DEFAULT) -> OracleIndex:
+    """docs: list of (doc_id, text). Doc numbering = ascending doc_id order
+    (the engine's deterministic global numbering rule, SURVEY.md §4.3.5)."""
+    docs = sorted(docs, key=lambda x: x[0])
+    doc_ids = [d for d, _ in docs]
+    tokenized = [tokenize_py(t, cfg.max_tokens) for _, t in docs]
+    dl = np.array([len(t) for t in tokenized], dtype=np.int64)
+    # dl counts all tokens; avgdl over all docs (empty docs included)
+    avgdl = float(dl.mean()) if len(dl) else 0.0
+    n_docs = len(docs)
+
+    terms = sorted({t for toks in tokenized for t in toks})
+    vocab = {t: i for i, t in enumerate(terms)}
+
+    # tf per (doc, term)
+    tf_map: list[dict[int, int]] = []
+    for toks in tokenized:
+        m: dict[int, int] = {}
+        for t in toks:
+            tid = vocab[t]
+            m[tid] = m.get(tid, 0) + 1
+        tf_map.append(m)
+
+    df = np.zeros(len(terms), dtype=np.int64)
+    for m in tf_map:
+        for tid in m:
+            df[tid] += 1
+
+    postings: dict[int, list[tuple[int, float]]] = {i: [] for i in range(len(terms))}
+    for didx, m in enumerate(tf_map):
+        for tid, tf in m.items():
+            w = bm25_weight(tf, int(dl[didx]), avgdl, n_docs, int(df[tid]),
+                            cfg.k1, cfg.b)
+            w32 = np.float32(w)
+            if w32 > cfg.min_weight:  # strict > filter, sparse_index.py:65-68
+                postings[tid].append((didx, float(w32)))
+
+    packed = {}
+    for tid, plist in postings.items():
+        if not plist:
+            continue
+        plist.sort()  # ascending doc_idx (reference postings order)
+        d = np.array([p[0] for p in plist], dtype=np.int64)
+        w = np.array([p[1] for p in plist], dtype=np.float32)
+        packed[tid] = (d, w)
+
+    return OracleIndex(doc_ids=doc_ids, vocab=vocab, terms=terms, df=df,
+                       dl=dl, avgdl=avgdl, n_docs=n_docs, postings=packed,
+                       cfg=cfg)
+
+
+def encode_query_oracle(text: str, idx: OracleIndex) -> dict[int, float]:
+    """Bag-of-words query: term -> qtf (float32). OOV terms dropped
+    (empty-postings path, sparse_index.py:705-714)."""
+    q: dict[int, float] = {}
+    for t in tokenize_py(text, idx.cfg.max_tokens):
+        tid = idx.vocab.get(t)
+        if tid is not None:
+            q[tid] = q.get(tid, 0.0) + 1.0
+    return q
+
+
+def score_query_oracle(text: str, idx: OracleIndex, k: int = 10
+                       ) -> list[tuple[str, float]]:
+    """Exhaustive accumulation in float32, canonical order: ascending
+    term_id, then ascending doc_idx (SURVEY.md §4.3.1). Returns
+    [(doc_id, score)] ranked by (score desc, doc_idx asc)."""
+    q = encode_query_oracle(text, idx)
+    scores = np.zeros(idx.n_docs, dtype=np.float32)
+    touched = np.zeros(idx.n_docs, dtype=bool)
+    for tid in sorted(q):
+        if tid not in idx.postings:
+            continue
+        d, w = idx.postings[tid]
+        scores[d] += np.float32(q[tid]) * w
+        touched[d] = True
+    cand = np.nonzero(touched)[0]
+    if cand.size == 0:
+        return []
+    # rank by (-score, doc_idx): lexsort keys, last key is primary
+    order = np.lexsort((cand, -scores[cand]))[:k]
+    return [(idx.doc_ids[int(cand[i])], float(scores[cand[i]])) for i in order]

@@ -1,0 +1,43 @@
+"""SparkSession factory tuned for the local[N] sandbox.
+
+On a real cluster the same builder works with ``--master yarn`` etc. via
+spark-submit; nothing here is local-only except the driver-memory default.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    master: str | None = None,
+    app_name: str = "splade_spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    master = master or f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+    if shuffle_partitions is None:
+        # match core count in local mode; a cluster deployment would size
+        # this to ~2-3x total executor cores (or rely on AQE coalescing)
+        n = master[master.find("[") + 1 : master.find("]")] if "[" in master else "32"
+        shuffle_partitions = 32 if n == "*" else max(int(n), 4)
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,155 @@
+"""End-to-end differential: Spark engine vs the NumPy oracle
+(reimplementation of /root/reference/src/indexing/sparse_index.py
+semantics — build + score + top-k, SURVEY.md §5)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from splade_spark.config import EngineConfig
+from splade_spark.fixtures import gen_pages, gen_queries
+from splade_spark.operators.indexing import build_index
+from splade_spark.operators.query import retrieve
+from splade_spark.oracle import build_oracle_index, score_query_oracle
+
+N_DOCS = 300
+N_QUERIES = 40
+K = 10
+# small block size so multi-block terms + skew split actually happen
+CFG = EngineConfig(block_size=64, index_partitions=4)
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    pages = gen_pages(N_DOCS, seed=42)
+    queries = gen_queries(N_QUERIES, pages, seed=43)
+    return pages, queries
+
+
+@pytest.fixture(scope="module")
+def spark_index(spark, corpus):
+    pages, _ = corpus
+    docs = spark.createDataFrame(pages[["url", "text"]])
+    return build_index(docs, id_col="url", text_col="text", cfg=CFG)
+
+
+@pytest.fixture(scope="module")
+def oracle_index(corpus):
+    pages, _ = corpus
+    return build_oracle_index(list(zip(pages["url"], pages["text"])), cfg=CFG)
+
+
+def test_meta_matches_oracle(spark_index, oracle_index):
+    assert spark_index.meta["n_docs"] == oracle_index.n_docs
+    assert np.isclose(spark_index.meta["avgdl"], oracle_index.avgdl)
+
+
+def test_doc_numbering(spark_index, oracle_index):
+    got = {
+        r["doc_id"]: r["doc_idx"]
+        for r in spark_index.doc_dim.select("doc_id", "doc_idx").collect()
+    }
+    want = {d: i for i, d in enumerate(oracle_index.doc_ids)}
+    assert got == want
+
+
+def test_term_dict_and_df(spark_index, oracle_index):
+    rows = spark_index.term_dict.select("term", "term_id", "df").collect()
+    got = {r["term"]: (r["term_id"], r["df"]) for r in rows}
+    want = {t: (oracle_index.vocab[t], int(oracle_index.df[oracle_index.vocab[t]]))
+            for t in oracle_index.terms}
+    assert got == want
+
+
+def test_postings_match_oracle(spark_index, oracle_index):
+    """Decode every block and compare the full postings content."""
+    from splade_spark.functions.codec import decode_block
+
+    rows = spark_index.postings.collect()
+    got: dict[int, list] = {}
+    for r in rows:
+        d, w = decode_block(r["doc_gaps"], r["weights"])
+        assert r["n_postings"] == d.size
+        assert r["min_doc"] == d.min() and r["max_doc"] == d.max()
+        assert np.isclose(r["max_weight"], w.max(), rtol=1e-6)
+        # ascending doc order within a block (ref postings order)
+        assert np.all(np.diff(d) > 0)
+        got.setdefault(r["term_id"], []).append((d, w))
+    total = 0
+    for tid, (od, ow) in oracle_index.postings.items():
+        assert tid in got, f"term {tid} missing"
+        parts = sorted(got[tid], key=lambda p: p[0][0])
+        gd = np.concatenate([p[0] for p in parts])
+        gw = np.concatenate([p[1] for p in parts])
+        assert np.array_equal(gd, od), f"term {tid} docs differ"
+        assert np.allclose(gw, ow, rtol=1e-6), f"term {tid} weights differ"
+        total += od.size
+    assert spark_index.meta["nnz"] == total
+
+
+def test_skew_split_blocks_exist(spark_index):
+    """Zipf head terms must split into multiple blocks."""
+    multi = (
+        spark_index.postings.groupBy("term_id")
+        .agg(F.countDistinct("block_id").alias("nb"))
+        .filter(F.col("nb") > 1)
+        .count()
+    )
+    assert multi > 0
+
+
+def _rank_check(engine_rows, oracle_topk, qid):
+    """Exact doc sequence; permutations allowed only inside score-tie groups."""
+    got = [(r["doc_id"], r["score"]) for r in sorted(engine_rows, key=lambda r: r["rank"])]
+    want = oracle_topk
+    assert len(got) == len(want), f"{qid}: k mismatch {len(got)} vs {len(want)}"
+    for (gd, gs), (wd, ws) in zip(got, want):
+        assert np.isclose(gs, ws, rtol=1e-5, atol=1e-6), f"{qid}: score {gs} vs {ws}"
+        if gd != wd:
+            # allow swap within a tie group: the want-score of gd must equal ws
+            want_scores = {d: s for d, s in want}
+            assert gd in want_scores and np.isclose(
+                want_scores[gd], ws, rtol=1e-5, atol=1e-6
+            ), f"{qid}: rank mismatch {gd} vs {wd}"
+
+
+@pytest.mark.parametrize("strategy", ["exhaustive", "wand"])
+def test_topk_rank_identical(spark, corpus, spark_index, oracle_index, strategy):
+    pages, queries = corpus
+    qdf = spark.createDataFrame(queries)
+    res = retrieve(spark_index, qdf, k=K, strategy=strategy)
+    by_q: dict[str, list] = {}
+    for r in res.collect():
+        by_q.setdefault(r["query_id"], []).append(r)
+    n_nonempty = 0
+    for _, q in queries.iterrows():
+        want = score_query_oracle(q["text"], oracle_index, k=K)
+        got = by_q.get(q["query_id"], [])
+        if not want:
+            assert not got
+            continue
+        n_nonempty += 1
+        _rank_check(got, want, q["query_id"])
+    assert n_nonempty > N_QUERIES // 2
+
+
+def test_wand_equals_exhaustive(spark, corpus, spark_index):
+    _, queries = corpus
+    qdf = spark.createDataFrame(queries)
+    a = retrieve(spark_index, qdf, k=K, strategy="exhaustive").collect()
+    b = retrieve(spark_index, qdf, k=K, strategy="wand").collect()
+    ka = {(r["query_id"], r["rank"]): (r["doc_id"], r["score"]) for r in a}
+    kb = {(r["query_id"], r["rank"]): (r["doc_id"], r["score"]) for r in b}
+    assert ka.keys() == kb.keys()
+    for key in ka:
+        da, sa = ka[key]
+        db, sb = kb[key]
+        assert np.isclose(sa, sb, rtol=1e-5), key
+        # doc may differ only under exact score tie
+        if da != db:
+            assert np.isclose(sa, sb, rtol=0, atol=2e-6), key
+
+
+def test_oov_query_empty(spark, spark_index):
+    qdf = spark.createDataFrame([("qx", "zzznotaword qqqalsonot")], "query_id string, text string")
+    assert retrieve(spark_index, qdf, k=5).count() == 0
