@@ -1,0 +1,118 @@
+"""Headline benchmark — driver contract.
+
+Runs the engine's headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Also measures the two BASELINE.json target metrics on a deterministic
+synthetic corpus (fixtures.gen_pages — Zipf skewed, FIXTURES.md §1):
+  - index-build throughput (docs/sec), full compressed-index build
+  - BM25 top-k query p50 latency (ms) over single-query WAND retrievals
+    against the pre-built, cached index
+
+Scaling-efficiency evidence (local[8] vs local[32]) lives in
+scripts/scaling_bench.py → BENCH.md; this file stays single-master because
+one Python process can hold only one JVM.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# headline subset of the driver registry: one per operator family
+HEADLINE = [
+    "bm25_topk_engine",        # build + block-max WAND retrieve, end-to-end
+    "bm25_sql_topk",           # one-shot declarative BM25 SQL plan
+    "term_df_top100",          # DF pass + top-N
+    "dedup_exact",             # hash-groupBy dedup
+    "minhash_band_pairs",      # MinHash+LSH near-dup
+    "ann_cosine_topk",         # brute-force cosine top-k
+    "text_quality",            # quality-scoring features
+    "lineitem_pricing_agg",    # relational agg w/ pushed filter
+    "top_orders_per_priority", # per-group top-k window
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    bench_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "20000"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    from splade_spark.config import DEFAULT
+    from splade_spark.entry_queries import REGISTRY
+    from splade_spark.fixtures import gen_pages, gen_queries
+    from splade_spark.operators.indexing import build_index
+    from splade_spark.operators.query import retrieve
+    from splade_spark.session import get_spark
+
+    spark = get_spark(master=f"local[{cpus}]")
+    spark.range(10_000).selectExpr("sum(id)").collect()  # JVM warmup
+
+    queries: dict[str, float] = {}
+    t_suite0 = time.perf_counter()
+    for name in HEADLINE:
+        fn, _ = REGISTRY[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).collect()
+        queries[name] = round(time.perf_counter() - t0, 3)
+    suite_sec = round(time.perf_counter() - t_suite0, 3)
+
+    # --- target metric 1: index-build throughput (docs/sec) --------------
+    pages = gen_pages(bench_docs, seed=42)
+    docs = (
+        spark.createDataFrame(pages[["url", "text"]])
+        .withColumnRenamed("url", "doc_id")
+        .repartition(max(int(cpus), 4))
+        .persist()
+    )
+    docs.count()  # materialize input so the timer sees only the build
+    t0 = time.perf_counter()
+    idx = build_index(docs, id_col="doc_id", text_col="text")
+    n_blocks = idx.postings.persist().count()  # force full block build
+    build_sec = time.perf_counter() - t0
+    docs_per_sec = bench_docs / build_sec
+
+    # --- target metric 2: BM25 top-k p50 latency (ms), warm index --------
+    idx.term_dict.persist().count()
+    idx.doc_dim.persist().count()
+    qdf = gen_queries(20, pages, seed=43)
+    lat_ms: list[float] = []
+    for _, row in qdf.iterrows():
+        one = spark.createDataFrame(
+            [(row["query_id"], row["text"])], "query_id string, text string"
+        )
+        t0 = time.perf_counter()
+        retrieve(idx, one, k=DEFAULT.top_k, strategy="wand").collect()
+        lat_ms.append((time.perf_counter() - t0) * 1000.0)
+    p50 = statistics.median(lat_ms)
+    p95 = sorted(lat_ms)[int(0.95 * (len(lat_ms) - 1))]
+
+    out = {
+        "metric": "headline_suite_wall",
+        "value": suite_sec,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "index_build_docs": bench_docs,
+        "index_build_sec": round(build_sec, 3),
+        "index_docs_per_sec": round(docs_per_sec, 1),
+        "index_posting_blocks": int(n_blocks),
+        "query_p50_ms": round(p50, 1),
+        "query_p95_ms": round(p95, 1),
+        "cpus": int(cpus),
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -396,6 +396,9 @@ def minhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("bh")
         )
+        # persisted so the self-join below reads the computed bands once
+        # instead of recomputing the shingle→minhash pipeline per side
+        .persist()
     )
     a = bands.alias("a")
     b = bands.alias("b")

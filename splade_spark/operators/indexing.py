@@ -78,6 +78,13 @@ class InvertedIndex:
         with open(os.path.join(out_dir, "index_meta.json"), "w") as f:
             json.dump(self.meta, f, indent=2, sort_keys=True)
 
+    def unpersist(self) -> None:
+        for df in (self.postings, self.term_dict, self.doc_dim):
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+
     @classmethod
     def load(cls, spark: SparkSession, out_dir: str) -> "InvertedIndex":
         with open(os.path.join(out_dir, "index_meta.json")) as f:
@@ -132,13 +139,14 @@ def build_index(
     spark = docs.sparkSession
 
     tf, doc_len = doc_term_frequencies(docs, id_col, text_col, cfg)
+    # persist the tokenize output: every downstream job (stats, ids, DF
+    # counts, postings) reuses it instead of re-reading + re-tokenizing the
+    # corpus — at 100 TB this is the difference between 1 and 5 scans.
+    if weighted_terms is None:
+        tf = tf.persist()
+    doc_len = doc_len.persist()
 
-    # deterministic global doc numbering: ascending doc_id (SURVEY §4.3.5)
-    doc_dim = assign_global_ids(
-        doc_len.withColumnRenamed("doc_id", "doc_id"), key="doc_id",
-        id_col="doc_idx", num_partitions=cfg.index_partitions,
-    ).select("doc_idx", "doc_id", "dl")
-
+    # single stats job (n_docs, avgdl, total_tokens)
     stats = doc_len.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"),
         F.sum("dl").alias("total_tokens"),
@@ -146,6 +154,12 @@ def build_index(
     if stats["n_docs"] == 0 or stats["avgdl"] is None:
         raise ValueError("build_index: corpus is empty — nothing to index")
     n_docs, avgdl = int(stats["n_docs"]), float(stats["avgdl"])
+
+    # deterministic global doc numbering: ascending doc_id (SURVEY §4.3.5)
+    doc_dim = assign_global_ids(
+        doc_len, key="doc_id",
+        id_col="doc_idx", num_partitions=cfg.index_partitions,
+    ).select("doc_idx", "doc_id", "dl").persist()
 
     if weighted_terms is None:
         source = tf
@@ -161,7 +175,7 @@ def build_index(
     ).select(
         "term_id", "term", "df",
         F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)).alias("idf"),
-    )
+    ).persist()
 
     if weighted_terms is None:
         # BM25 impact weight per (doc, term): idf * tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl))
@@ -201,9 +215,14 @@ def build_index(
             .drop("_rn")
         )
 
-    postings = build_posting_blocks(weighted, n_docs, cfg)
+    postings = build_posting_blocks(weighted, n_docs, cfg).persist()
 
     nnz = postings.agg(F.sum("n_postings")).collect()[0][0]
+    # tokenize intermediates are now fully consumed (postings materialized,
+    # doc_dim/term_dict persisted) — release the executors' cache
+    if weighted_terms is None:
+        tf.unpersist()
+    doc_len.unpersist()
     meta = {
         "format": "splade_spark.postings.v1",
         "n_docs": n_docs,

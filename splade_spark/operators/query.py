@@ -52,16 +52,39 @@ def encode_queries(
         .groupBy("query_id", "term")
         .agg(F.count(F.lit(1)).cast("float").alias("qtf"))
     )
-    return qt.join(term_dict.select("term", "term_id"), "term").select(
+    return term_dict.select("term", "term_id").join(F.broadcast(qt), "term").select(
         "query_id", "term_id", "qtf"
     )
 
 
+# above this many distinct query term_ids, skip the isin literal pushdown
+# (codegen on huge IN lists costs more than it saves) and rely on the
+# broadcast join alone
+_ISIN_PUSHDOWN_CAP = 2048
+
+
 def _candidate_blocks(index: InvertedIndex, q_terms: DataFrame) -> DataFrame:
-    """Postings blocks of the query terms. Query side broadcast: the scan
-    over the postings table is pruned to matching term_ids (and, reading
-    the term_id-sorted parquet layout, to matching row groups)."""
-    return index.postings.join(F.broadcast(q_terms), "term_id")
+    """Postings blocks of the query terms.
+
+    The query side is tiny by contract (a query set, not a corpus), so it
+    is collected once and re-emitted as a literal local relation: the
+    broadcast then costs no extra job, and the distinct term_ids become an
+    ``isin`` predicate PUSHED INTO the postings scan — on the term_id-sorted
+    parquet layout this prunes row groups before any decode. At 10^12 docs
+    this is the difference between scanning the full postings table and
+    touching only the query terms' blocks."""
+    spark = index.postings.sparkSession
+    rows = q_terms.collect()
+    if not rows:
+        return spark.createDataFrame([], schema=q_terms.schema).join(
+            index.postings, "term_id"
+        )
+    q_local = spark.createDataFrame(rows, schema=q_terms.schema)
+    terms = sorted({r["term_id"] for r in rows})
+    base = index.postings
+    if len(terms) <= _ISIN_PUSHDOWN_CAP:
+        base = base.filter(F.col("term_id").isin(terms))
+    return base.join(F.broadcast(q_local), "term_id")
 
 
 def score_exhaustive(
