@@ -269,6 +269,118 @@ def idf_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("bm25_resumable_engine", _BM25_SQL_DUCK_RANKONLY)
+def bm25_resumable_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resumable-build path (S6/S7 analogue, north rule): encode half the
+    buckets, 'crash', restart to finish, build the index from committed
+    shards, retrieve. Must be rank-identical to the direct build — same
+    DuckDB BM25 oracle as bm25_topk_engine."""
+    import tempfile
+
+    from .operators.checkpoint import build_index_from_shards, encode_corpus_resumable
+    from .operators.query import retrieve
+
+    out = tempfile.mkdtemp(prefix="splade_ckpt_")
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    # run 1: bounded work quota — only the first half of the buckets
+    encode_corpus_resumable(docs, out, n_buckets=8, only_buckets=[0, 1, 2, 3])
+    # run 2: restart — skips committed buckets, finishes the rest
+    encode_corpus_resumable(docs, out, n_buckets=8)
+    idx = build_index_from_shards(spark, out)
+    queries = spark.createDataFrame(BM25_QUERIES, "query_id string, text string")
+    res = retrieve(idx, queries, k=TOPK, strategy="wand")
+    return res.select(
+        "query_id", F.col("rank").cast("int").alias("rank"),
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SPLADE-style expansion family
+# ---------------------------------------------------------------------------
+
+from .functions.expander import expand_sql, expand_terms  # noqa: E402
+
+_SPLADE_EXPAND_SQL = f"""
+WITH docs50 AS (SELECT doc_id, text FROM documents WHERE doc_id < 50),
+{expand_sql('docs50', 'doc_id', 'text')}
+SELECT doc_id, term,
+       CAST(round(weight * 1000000) AS BIGINT) AS weight_micro
+FROM exp_docs50
+"""
+
+
+@register("splade_expand_terms", _SPLADE_EXPAND_SQL)
+def splade_expand_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPLADE-style log-saturated term expansion (F3 activation, A6 max
+    pooling, P1 sparsify) via the deterministic surrogate encoder — pure
+    JVM Column plan."""
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 50).select("doc_id", "text")
+    return expand_terms(docs).select(
+        "doc_id", "term",
+        F.round(F.col("weight").cast("double") * 1e6).cast("bigint").alias("weight_micro"),
+    )
+
+
+_SPLADE_TOPK_SQL = f"""
+WITH q(query_id, qtext) AS (VALUES {_QVALUES_SQL}),
+{expand_sql('documents', 'doc_id', 'text')},
+{expand_sql('q', 'query_id', 'qtext')},
+scored AS (
+  SELECT qe.doc_id AS query_id, de.doc_id, sum(qe.weight * de.weight) AS score
+  FROM exp_q qe JOIN exp_documents de ON de.term = qe.term
+  GROUP BY 1, 2
+),
+ranked AS (
+  -- milli-quantized ranking: the engine scores in float32, DuckDB in
+  -- float64 with parallel (order-nondeterministic) summation — raw ranks
+  -- near ties are not comparable across the two, quantized ranks are
+  SELECT query_id, doc_id, score,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY round(score * 1000) DESC, CAST(doc_id AS VARCHAR) ASC
+         ) AS rank
+  FROM scored
+)
+SELECT query_id, CAST(rank AS INT) AS rank, CAST(doc_id AS BIGINT) AS doc_id
+FROM ranked WHERE rank <= {TOPK}
+"""
+
+
+@register("splade_topk_engine", _SPLADE_TOPK_SQL)
+def splade_topk_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end SPLADE-path retrieval: expand docs AND queries with the
+    surrogate encoder, index the expansion (external weights), block-max
+    WAND top-k. Engine scores are float32 → rank-only comparison."""
+    from .operators.indexing import build_index
+    from .operators.query import retrieve
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    dw = expand_terms(docs)
+    idx = build_index(docs, id_col="doc_id", text_col="text", weighted_terms=dw)
+    qdf = spark.createDataFrame(BM25_QUERIES, "query_id string, text string")
+    qw = expand_terms(qdf, id_col="query_id", text_col="text").select(
+        F.col("doc_id").alias("query_id"), "term", "weight"
+    )
+    # retrieve a deep raw-f32 pool, then re-rank milli-quantized to match
+    # the oracle's cross-precision-stable rule (see _SPLADE_TOPK_SQL)
+    res = retrieve(idx, qdf, k=100, strategy="wand", query_weights=qw)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round(F.col("score").cast("double") * 1000)),
+        F.asc(F.col("doc_id").cast("string")),
+    )
+    return (
+        res.withColumn("qrank", F.row_number().over(w))
+        .filter(F.col("qrank") <= TOPK)
+        .select(
+            "query_id", F.col("qrank").cast("int").alias("rank"),
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Dedup / fingerprint family
 # ---------------------------------------------------------------------------

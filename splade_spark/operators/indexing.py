@@ -136,9 +136,22 @@ def build_index(
     impact computation is skipped (the expansion already carries weights);
     otherwise classic BM25 impacts are computed from term frequencies.
     """
-    spark = docs.sparkSession
-
     tf, doc_len = doc_term_frequencies(docs, id_col, text_col, cfg)
+    return index_from_tf(tf, doc_len, cfg=cfg, weighted_terms=weighted_terms)
+
+
+def index_from_tf(
+    tf: DataFrame,
+    doc_len: DataFrame,
+    cfg: EngineConfig = DEFAULT,
+    weighted_terms: DataFrame | None = None,
+) -> InvertedIndex:
+    """Index build from pre-tokenized inputs: ``tf`` = (doc_id string, term
+    string, tf int), ``doc_len`` = (doc_id string, dl int). This is the
+    stage-2 entry the resumable path (checkpoint.py) uses after restoring
+    tf/dl shards — mirroring the reference's encode→index split
+    (/root/reference/script/index.py vs script/encode.py)."""
+    spark = tf.sparkSession
     # persist the tokenize output: every downstream job (stats, ids, DF
     # counts, postings) reuses it instead of re-reading + re-tokenizing the
     # corpus — at 100 TB this is the difference between 1 and 5 scans.

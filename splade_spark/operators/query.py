@@ -164,11 +164,15 @@ def score_wand(index: InvertedIndex, q_terms: DataFrame, k: int = 10) -> DataFra
                 break
             d, w = decode_block(gaps_arr[i], wts_arr[i])
             doc_chunks.append(d)
-            score_chunks.append(qtf_arr[i] * w)
+            # f32 product (reference weight math), accumulated in f64:
+            # sums of ≤2^29 float32 values are EXACT in float64, so the
+            # result is independent of block processing order — the same
+            # value the exhaustive path's double-sum aggregate produces
+            score_chunks.append((qtf_arr[i] * w).astype(np.float64))
             alld = np.concatenate(doc_chunks)
             alls = np.concatenate(score_chunks)
             uniq, inv = np.unique(alld, return_inverse=True)
-            acc = np.zeros(uniq.size, dtype=np.float32)
+            acc = np.zeros(uniq.size, dtype=np.float64)
             np.add.at(acc, inv, alls)
             if acc.size >= k:
                 theta = np.partition(acc, acc.size - k)[acc.size - k]
@@ -182,7 +186,7 @@ def score_wand(index: InvertedIndex, q_terms: DataFrame, k: int = 10) -> DataFra
         alld = np.concatenate(doc_chunks)
         alls = np.concatenate(score_chunks)
         cand_docs, inv = np.unique(alld, return_inverse=True)
-        acc = np.zeros(cand_docs.size, dtype=np.float32)
+        acc = np.zeros(cand_docs.size, dtype=np.float64)
         np.add.at(acc, inv, alls)
         # phase 2: apply skipped blocks only to surviving candidates; skip
         # blocks whose doc range misses every candidate (no decode)
@@ -194,11 +198,13 @@ def score_wand(index: InvertedIndex, q_terms: DataFrame, k: int = 10) -> DataFra
             d, w = decode_block(gaps_arr[i], wts_arr[i])
             pos = np.searchsorted(cand_docs, d)
             ok = (pos < cand_docs.size) & (cand_docs[np.minimum(pos, cand_docs.size - 1)] == d)
-            np.add.at(acc, pos[ok], qtf_arr[i] * w[ok])
-        # top-k with tie rule (score desc, doc_idx asc)
-        sel = np.lexsort((cand_docs, -acc.astype(np.float64)))[:k]
+            np.add.at(acc, pos[ok], (qtf_arr[i] * w[ok]).astype(np.float64))
+        # final scores are float32 (reference dtype); ties broken on the
+        # ROUNDED value so rank order matches the exhaustive plan exactly
+        scores32 = acc.astype(np.float32)
+        sel = np.lexsort((cand_docs, -scores32.astype(np.float64)))[:k]
         return pd.DataFrame(
-            {"query_id": qid, "doc_idx": cand_docs[sel], "score": acc[sel]}
+            {"query_id": qid, "doc_idx": cand_docs[sel], "score": scores32[sel]}
         )
 
     schema = "query_id string, doc_idx bigint, score float"
@@ -220,14 +226,36 @@ def _topk(scores: DataFrame, index: InvertedIndex, k: int) -> DataFrame:
     )
 
 
+def encode_queries_weighted(
+    query_weights: DataFrame, term_dict: DataFrame
+) -> DataFrame:
+    """Pre-expanded query vectors (query_id, term, weight) — e.g. the
+    SPLADE-style expander applied to query text — mapped into term-id
+    space. The weight takes the place of qtf in the identical downstream
+    accumulation (the reference scores q_w·d_w the same way for neural and
+    bag-of-words queries, sparse_index.py:661-686)."""
+    qt = query_weights.select(
+        F.col("query_id").cast("string").alias("query_id"),
+        "term",
+        F.col("weight").cast("float").alias("qtf"),
+    )
+    return term_dict.select("term", "term_id").join(F.broadcast(qt), "term").select(
+        "query_id", "term_id", "qtf"
+    )
+
+
 def retrieve(
     index: InvertedIndex,
     queries: DataFrame,
     k: int = 10,
     strategy: str = "exhaustive",
     cfg: EngineConfig = DEFAULT,
+    query_weights: DataFrame | None = None,
 ) -> DataFrame:
-    q_terms = encode_queries(queries, index.term_dict, cfg)
+    if query_weights is not None:
+        q_terms = encode_queries_weighted(query_weights, index.term_dict)
+    else:
+        q_terms = encode_queries(queries, index.term_dict, cfg)
     if strategy == "wand":
         return score_wand(index, q_terms, k)
     return score_exhaustive(index, q_terms, k)

@@ -103,6 +103,63 @@ def build_oracle_index(docs: list[tuple[str, str]],
                        cfg=cfg)
 
 
+def build_oracle_index_weighted(
+    doc_vectors: dict[str, dict[str, float]], cfg: EngineConfig = DEFAULT
+) -> OracleIndex:
+    """Oracle index over externally-weighted sparse vectors (the SPLADE
+    expansion path): doc numbering = ascending doc_id, vocab = sorted
+    terms, float32 weights, strict > min_weight filter."""
+    doc_ids = sorted(doc_vectors)
+    terms = sorted({t for v in doc_vectors.values() for t in v})
+    vocab = {t: i for i, t in enumerate(terms)}
+    df = np.zeros(len(terms), dtype=np.int64)
+    postings: dict[int, list[tuple[int, float]]] = {i: [] for i in range(len(terms))}
+    for didx, did in enumerate(doc_ids):
+        for t, w in doc_vectors[did].items():
+            tid = vocab[t]
+            df[tid] += 1
+            w32 = np.float32(w)
+            if w32 > cfg.min_weight:
+                postings[tid].append((didx, float(w32)))
+    packed = {}
+    for tid, plist in postings.items():
+        if not plist:
+            continue
+        plist.sort()
+        packed[tid] = (
+            np.array([p[0] for p in plist], dtype=np.int64),
+            np.array([p[1] for p in plist], dtype=np.float32),
+        )
+    return OracleIndex(doc_ids=doc_ids, vocab=vocab, terms=terms, df=df,
+                       dl=np.zeros(len(doc_ids), dtype=np.int64), avgdl=0.0,
+                       n_docs=len(doc_ids), postings=packed, cfg=cfg)
+
+
+def score_weighted_query_oracle(
+    q_vec: dict[str, float], idx: OracleIndex, k: int = 10
+) -> list[tuple[str, float]]:
+    """Like score_query_oracle but with an externally-weighted query vector
+    (term -> weight). OOV terms dropped."""
+    q = {
+        idx.vocab[t]: float(np.float32(w))
+        for t, w in q_vec.items()
+        if t in idx.vocab
+    }
+    scores = np.zeros(idx.n_docs, dtype=np.float32)
+    touched = np.zeros(idx.n_docs, dtype=bool)
+    for tid in sorted(q):
+        if tid not in idx.postings:
+            continue
+        d, w = idx.postings[tid]
+        scores[d] += np.float32(q[tid]) * w
+        touched[d] = True
+    cand = np.nonzero(touched)[0]
+    if cand.size == 0:
+        return []
+    order = np.lexsort((cand, -scores[cand]))[:k]
+    return [(idx.doc_ids[int(cand[i])], float(scores[cand[i]])) for i in order]
+
+
 def encode_query_oracle(text: str, idx: OracleIndex) -> dict[int, float]:
     """Bag-of-words query: term -> qtf (float32). OOV terms dropped
     (empty-postings path, sparse_index.py:705-714)."""
