@@ -52,10 +52,11 @@ def main() -> None:
     from splade_spark.fixtures import gen_pages, gen_queries
     from splade_spark.operators.indexing import build_index
     from splade_spark.operators.query import retrieve
-    from splade_spark.session import get_spark
+    from splade_spark.session import get_spark, warm_python_workers
 
     spark = get_spark(master=f"local[{cpus}]")
     spark.range(10_000).selectExpr("sum(id)").collect()  # JVM warmup
+    warm_python_workers(spark)  # Arrow worker import storm out of the timings
 
     queries: dict[str, float] = {}
     t_suite0 = time.perf_counter()

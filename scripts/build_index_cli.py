@@ -1,0 +1,64 @@
+"""spark-submit entry point: corpus parquet/Iceberg table → inverted index.
+
+Packaged run (north rule)::
+
+    scripts/make_pyfiles.sh   # → dist/splade_spark.zip
+    spark-submit --py-files dist/splade_spark.zip scripts/build_index_cli.py \
+        --input /data/pages --output /data/index \
+        [--id-col url --text-col text] [--resumable --buckets 64]
+
+Runs unchanged on a cluster master (``--master yarn`` etc.); the local
+default exists so the same command works in this sandbox.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="parquet path or table")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--id-col", default="url")
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--resumable", action="store_true")
+    ap.add_argument("--buckets", type=int, default=64)
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args()
+
+    from splade_spark.operators.indexing import build_index
+    from splade_spark.session import get_spark
+
+    spark = get_spark(master=args.master, app_name="splade_build_index")
+    docs = spark.read.parquet(args.input)
+
+    t0 = time.perf_counter()
+    if args.resumable:
+        from splade_spark.operators.checkpoint import (
+            build_index_from_shards,
+            encode_corpus_resumable,
+        )
+
+        summary = encode_corpus_resumable(
+            docs, args.output + "/encode", n_buckets=args.buckets,
+            id_col=args.id_col, text_col=args.text_col,
+        )
+        print(json.dumps({"stage": "encode", **summary}))
+        idx = build_index_from_shards(spark, args.output + "/encode")
+    else:
+        idx = build_index(docs, id_col=args.id_col, text_col=args.text_col)
+    idx.save(args.output)
+    wall = time.perf_counter() - t0
+    print(json.dumps({
+        "stage": "index", "output": args.output, "wall_sec": round(wall, 2),
+        "docs_per_sec": round(idx.meta["n_docs"] / wall, 1), **idx.meta,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

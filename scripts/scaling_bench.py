@@ -1,0 +1,133 @@
+"""Scaling-efficiency benchmark: the same index-build job at two
+parallelism levels (local[8] vs local[32]) on the same input.
+
+Sandbox proxy for the north rule's N → 4N executor criterion (no real
+cluster here): throughput scaling efficiency
+``(docs_per_sec@32 / docs_per_sec@8) / 4`` must be ≥ 0.8.
+
+One JVM per process → each measurement runs in a child process.
+
+Input is generated ONCE (seeded, FIXTURES.md §1 shape) to a parquet dir
+with plain pyarrow, then both measurements read the identical files — the
+timed region covers only the index build, starting from a persisted input.
+
+Usage::
+
+    python scripts/scaling_bench.py                    # both runs + summary
+    python scripts/scaling_bench.py 1000000            # corpus size
+    python scripts/scaling_bench.py --one 8 /tmp/dir   # single measurement
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+DEFAULT_DOCS = 1_000_000
+CHUNK = 125_000
+
+
+def gen_input(n_docs: int, path: str) -> None:
+    """Seeded corpus → parquet (chunked so the driver never holds it all)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from splade_spark.fixtures import gen_pages
+
+    os.makedirs(path, exist_ok=True)
+    done = 0
+    part = 0
+    while done < n_docs:
+        n = min(CHUNK, n_docs - done)
+        pdf = gen_pages(n, seed=42 + part, split=f"part{part:03d}")
+        pq.write_table(
+            pa.Table.from_pandas(pdf[["url", "text"]], preserve_index=False),
+            os.path.join(path, f"part-{part:05d}.parquet"),
+        )
+        done += n
+        part += 1
+        print(f"generated {done}/{n_docs}", flush=True)
+
+
+def measure(cpus: int, input_dir: str) -> dict:
+    """Run one index build at local[cpus]; returns the metrics dict."""
+    from splade_spark.operators.indexing import build_index
+    from splade_spark.session import get_spark, warm_python_workers
+
+    spark = get_spark(
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus * 2,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.range(10_000).selectExpr("sum(id)").collect()
+    warm_python_workers(spark, cpus)
+
+    docs = (
+        spark.read.parquet(input_dir)
+        .withColumnRenamed("url", "doc_id")
+        .repartition(cpus * 4)
+        .persist()
+    )
+    n_docs = docs.count()  # input materialized before the timer starts
+
+    t0 = time.perf_counter()
+    idx = build_index(docs, id_col="doc_id", text_col="text")
+    n_blocks = idx.postings.count()  # postings persisted inside build_index
+    build_sec = time.perf_counter() - t0
+
+    out = {
+        "cpus": cpus,
+        "docs": n_docs,
+        "build_sec": round(build_sec, 2),
+        "docs_per_sec": round(n_docs / build_sec, 1),
+        "nnz": idx.meta["nnz"],
+        "posting_blocks": int(n_blocks),
+    }
+    spark.stop()
+    return out
+
+
+def main() -> None:
+    if len(sys.argv) >= 2 and sys.argv[1] == "--one":
+        cpus, input_dir = int(sys.argv[2]), sys.argv[3]
+        print("RESULT " + json.dumps(measure(cpus, input_dir)))
+        return
+
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else DEFAULT_DOCS
+    input_dir = os.environ.get(
+        "SPARK_GRAFT_SCALING_INPUT", f"/tmp/splade_scaling_{n_docs}"
+    )
+    if not os.path.isdir(input_dir) or not os.listdir(input_dir):
+        gen_input(n_docs, input_dir)
+
+    results = {}
+    for cpus in (8, 32):
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--one", str(cpus), input_dir],
+            capture_output=True, text=True, timeout=7200,
+        )
+        line = [l for l in proc.stdout.splitlines() if l.startswith("RESULT ")]
+        if not line:
+            print(proc.stdout[-3000:], file=sys.stderr)
+            print(proc.stderr[-3000:], file=sys.stderr)
+            raise RuntimeError(f"measurement at local[{cpus}] failed")
+        results[cpus] = json.loads(line[-1][len("RESULT "):])
+
+    eff = (results[32]["docs_per_sec"] / results[8]["docs_per_sec"]) / 4.0
+    summary = {
+        "metric": "index_build_scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio (target >= 0.8, N=8 -> 4N=32 cores)",
+        "runs": results,
+        "docs": n_docs,
+    }
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()

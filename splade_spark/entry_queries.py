@@ -522,6 +522,283 @@ def minhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SIMHASH_BITS = 16
+SIMHASH_MAX_DOC = 300
+
+
+@register(
+    "simhash_groups",
+    f"""
+WITH tok AS (
+  SELECT doc_id, unnest({tokens_sql('text')}) AS term
+  FROM documents WHERE doc_id < {SIMHASH_MAX_DOC}
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+h AS (
+  SELECT doc_id, term, tf,
+         ((strpos('0123456789abcdef', substr(md5(term), 1, 1)) - 1) * 4096 +
+          (strpos('0123456789abcdef', substr(md5(term), 2, 1)) - 1) * 256 +
+          (strpos('0123456789abcdef', substr(md5(term), 3, 1)) - 1) * 16 +
+          (strpos('0123456789abcdef', substr(md5(term), 4, 1)) - 1)) AS hv
+  FROM tf
+),
+votes AS (
+  SELECT doc_id, j,
+         sum(tf * (2 * (CAST(floor(hv / pow(2, j)) AS BIGINT) % 2) - 1)) AS v
+  FROM h CROSS JOIN (SELECT unnest(range({SIMHASH_BITS})) AS j)
+  GROUP BY doc_id, j
+),
+sims AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN v > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+  FROM votes GROUP BY doc_id
+)
+SELECT doc_id, simhash,
+       CAST(count(*) OVER (PARTITION BY simhash) AS BIGINT) AS group_size
+FROM sims
+""",
+)
+def simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup fingerprint: per-token md5-derived 16-bit hash,
+    tf-weighted bit votes, docs sharing a simhash form a dup group. All
+    JVM expressions; at corpus scale the groupBys are plain partial-agg
+    shuffles keyed by (doc, bit) then simhash."""
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < SIMHASH_MAX_DOC)
+    tf = (
+        docs.select("doc_id", F.explode(tokens_col("text")).alias("term"))
+        .groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    )
+    hv = F.conv(F.substring(F.md5("term"), 1, 4), 16, 10).cast("long")
+    bits = tf.select(
+        "doc_id", "tf", hv.alias("hv"),
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("j"),
+    )
+    bit = (F.floor(F.col("hv") / F.pow(F.lit(2.0), F.col("j"))).cast("long") % 2)
+    votes = bits.groupBy("doc_id", "j").agg(
+        F.sum(F.col("tf") * (2 * bit - 1)).alias("v")
+    )
+    sims = votes.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("v") > 0, F.pow(F.lit(2.0), F.col("j")).cast("long"))
+            .otherwise(0)
+        ).cast("bigint").alias("simhash")
+    )
+    w = Window.partitionBy("simhash")
+    return sims.select(
+        "doc_id", "simhash",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("group_size"),
+    )
+
+
+JACCARD_MAX_DOC = 150
+JACCARD_MIN_MILLI = 100
+
+
+@register(
+    "jaccard_ngram_pairs",
+    f"""
+WITH sh AS (
+  SELECT doc_id, unnest({_SHINGLES_DUCK}) AS s
+  FROM documents WHERE doc_id < {JACCARD_MAX_DOC}
+),
+ds AS (SELECT DISTINCT doc_id, s FROM sh),
+sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM ds a JOIN ds b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(round(i * 1000.0 / (sa.n + sb.n - i)) AS BIGINT) AS jaccard_milli
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(i * 1000.0 / (sa.n + sb.n - i)) >= {JACCARD_MIN_MILLI}
+""",
+)
+def jaccard_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard similarity over candidate pairs generated by a
+    shared-shingle equi-join (the verification stage of a MinHash
+    pipeline). At corpus scale the shingle join is frequency-capped; here
+    the corpus slice is small enough for the exact join."""
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < JACCARD_MAX_DOC)
+    ds = docs.select("doc_id", F.explode(_shingles_col()).alias("s")).distinct().persist()
+    sizes = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = ds.alias("a"), ds.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    jac = F.round(F.col("i") * 1000.0 / (F.col("sa.n") + F.col("sb.n") - F.col("i")))
+    return (
+        inter.join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sizes.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(jac >= JACCARD_MIN_MILLI)
+        .select("doc_a", "doc_b", jac.cast("bigint").alias("jaccard_milli"))
+    )
+
+
+NEAR_DUP_THRESHOLDS = (700, 800, 900, 950)
+
+
+@register(
+    "embedding_near_dup",
+    f"""
+WITH e AS (
+  SELECT vec_id, unnest(embedding) AS v,
+         unnest(range(1, len(embedding) + 1)) AS pos
+  FROM embeddings
+),
+norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY vec_id),
+dots AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb, sum(a.v * b.v) AS dot
+  FROM e a JOIN e b ON a.pos = b.pos AND a.vec_id < b.vec_id
+  GROUP BY a.vec_id, b.vec_id
+),
+cos AS (
+  SELECT d.va, d.vb, d.dot / (na.nrm * nb.nrm) AS c
+  FROM dots d JOIN norms na ON na.vec_id = d.va JOIN norms nb ON nb.vec_id = d.vb
+)
+SELECT t.thr AS threshold_milli,
+       CAST(coalesce(sum(CASE WHEN c * 1000 >= t.thr THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_pairs
+FROM cos CROSS JOIN (SELECT unnest([{", ".join(str(t) for t in NEAR_DUP_THRESHOLDS)}]) AS thr) t
+GROUP BY t.thr
+""",
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup detection: pair counts above a threshold
+    curve. Brute-force all-pairs here; the scale path buckets by LSH first
+    (see ann_lsh_bucketed) so only in-bucket pairs are scored."""
+    emb = _t(spark, sf_dir, "embeddings")
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
+            F.lit(0.0), lambda acc, p: acc + p,
+        )
+
+    e = emb.select(
+        "vec_id", "embedding",
+        F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+    )
+    a = e.alias("a")
+    b = e.select(
+        F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    ).alias("b")
+    pairs = a.join(F.broadcast(b), F.col("a.vec_id") < F.col("b.vb"))
+    cos = pairs.select(
+        (dot(F.col("a.embedding"), F.col("b.eb")) / (F.col("a.nrm") * F.col("b.nb"))).alias("c")
+    )
+    thr = spark.createDataFrame(
+        [(t,) for t in NEAR_DUP_THRESHOLDS], "thr INT"
+    )
+    return (
+        cos.crossJoin(F.broadcast(thr))
+        .groupBy("thr")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("c") * 1000 >= F.col("thr"), 1).otherwise(0)),
+                F.lit(0),
+            ).cast("bigint").alias("n_pairs")
+        )
+        .select(F.col("thr").alias("threshold_milli"), "n_pairs")
+    )
+
+
+LSH_DIMS = 8
+LSH_K = 3
+LSH_NQ = 8
+
+
+@register(
+    "ann_lsh_bucketed",
+    f"""
+WITH e AS (
+  SELECT vec_id, embedding,
+         (SELECT CAST(sum(CASE WHEN embedding[i + 1] > 0
+                          THEN CAST(pow(2, i) AS BIGINT) ELSE 0 END) AS BIGINT)
+          FROM (SELECT unnest(range({LSH_DIMS})) AS i)) AS bucket
+  FROM embeddings
+),
+ex AS (
+  SELECT vec_id, bucket, unnest(embedding) AS v,
+         unnest(range(1, len(embedding) + 1)) AS pos
+  FROM e
+),
+norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ex GROUP BY vec_id),
+q AS (SELECT * FROM ex WHERE vec_id < {LSH_NQ}),
+dots AS (
+  SELECT q.vec_id AS query_id, ex.vec_id AS vec_id, sum(q.v * ex.v) AS dot
+  FROM q JOIN ex ON q.pos = ex.pos AND q.bucket = ex.bucket
+                AND q.vec_id <> ex.vec_id
+  GROUP BY q.vec_id, ex.vec_id
+),
+cos AS (
+  SELECT d.query_id, d.vec_id, d.dot / (nq.nrm * nv.nrm) AS c
+  FROM dots d JOIN norms nq ON nq.vec_id = d.query_id
+              JOIN norms nv ON nv.vec_id = d.vec_id
+),
+ranked AS (
+  SELECT query_id, vec_id, c,
+         row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id ASC) AS rank
+  FROM cos
+)
+SELECT query_id, CAST(rank AS INT) AS rank, vec_id,
+       CAST(round(c * 1000000) AS BIGINT) AS cos_micro
+FROM ranked WHERE rank <= {LSH_K}
+""",
+)
+def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate NN: sign-bits of the first 8 dims form the
+    bucket; candidates are scored only within the query's bucket. The
+    scale path for ANN — the bucket join replaces the all-pairs cross
+    join with an equi-join Spark shuffles by bucket."""
+    emb = _t(spark, sf_dir, "embeddings")
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
+            F.lit(0.0), lambda acc, p: acc + p,
+        )
+
+    bucket = F.aggregate(
+        F.sequence(F.lit(0), F.lit(LSH_DIMS - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc
+        + F.when(
+            F.element_at(F.col("embedding"), i + 1) > 0,
+            F.pow(F.lit(2.0), i).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    e = emb.select(
+        "vec_id", "embedding", bucket.alias("bucket"),
+        F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+    )
+    q = e.filter(F.col("vec_id") < LSH_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"),
+        F.col("bucket").alias("qb"), F.col("nrm").alias("qn"),
+    )
+    cand = e.join(
+        F.broadcast(q),
+        (F.col("bucket") == F.col("qb")) & (F.col("vec_id") != F.col("query_id")),
+    )
+    cos = cand.select(
+        "query_id", "vec_id",
+        (dot(F.col("qe"), F.col("embedding")) / (F.col("qn") * F.col("nrm"))).alias("c"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("c"), F.asc("vec_id"))
+    return (
+        cos.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= LSH_K)
+        .select(
+            "query_id", F.col("rank").cast("int").alias("rank"), "vec_id",
+            F.round(F.col("c") * 1e6).cast("bigint").alias("cos_micro"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis family
 # ---------------------------------------------------------------------------
@@ -617,6 +894,71 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("lang").alias("labeled_lang"),
         F.when((n > 0) & (hits * 100 >= n * 2), "en").otherwise("unknown").alias("pred_lang"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal (binary column) family — payload synthesized from text so the
+# oracle sees identical bytes; the engine path treats it as an opaque blob
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "media_metadata",
+    """
+SELECT CAST(doc_id AS VARCHAR) AS media_id, 'text/plain' AS kind,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       sha256(text) AS sha256
+FROM documents WHERE doc_id < 100
+""",
+)
+def media_metadata_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata over a binary payload column — pure JVM projection
+    (operators/multimodal.py), blob never crosses into Python."""
+    from .operators.multimodal import media_metadata
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 100).select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload"),
+        F.lit("text/plain").alias("kind"),
+    )
+    return media_metadata(docs, id_col="doc_id", blob_col="payload", kind_col="kind")
+
+
+@register(
+    "media_byte_features",
+    """
+WITH t AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+b AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, length(text) + 1),
+                               i -> ascii(substr(text, i, 1)))) AS code
+  FROM t
+),
+h AS (SELECT doc_id, code // 16 AS bucket, count(*) AS c FROM b GROUP BY 1, 2),
+n AS (SELECT doc_id, count(*) AS nb, avg(code) AS mean_code FROM b GROUP BY 1),
+ent AS (
+  SELECT h.doc_id,
+         -sum((c * 1.0 / n.nb) * log2(c * 1.0 / n.nb)) AS entropy
+  FROM h JOIN n ON n.doc_id = h.doc_id GROUP BY h.doc_id
+)
+SELECT CAST(n.doc_id AS VARCHAR) AS media_id,
+       CAST(n.nb AS BIGINT) AS n_bytes,
+       CAST(round(n.mean_code * 1000) AS BIGINT) AS byte_mean_milli,
+       CAST(round(ent.entropy * 1000) AS BIGINT) AS byte_entropy_milli
+FROM n JOIN ent ON ent.doc_id = n.doc_id
+""",
+)
+def media_byte_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched blob feature extraction (mapInPandas over a binary
+    column — the real multimodal plumbing; codec decode itself is stubbed
+    per environment, operators/multimodal.py)."""
+    from .operators.multimodal import media_features
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 100).select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return media_features(docs, id_col="doc_id", blob_col="payload").select(
+        "media_id", "n_bytes", "byte_mean_milli", "byte_entropy_milli"
     )
 
 

@@ -4,24 +4,31 @@ Replaces the reference's implicit global doc numbering (shard order
 ``(rank, shard_id)`` then in-shard order,
 /root/reference/src/indexing/sparse_index.py:498,643-656) with an explicit
 contract: ``id = rank of key in ascending key order`` — reproducible
-regardless of partitioning or cluster size.
+regardless of partitioning or cluster size (range boundaries may differ
+between runs, but contiguous ordered ranges + in-partition sort always
+produce the same global rank for a given key set).
 
-Physical plan (terasort pattern, no single-partition window):
+Physical plan (terasort pattern, all JVM — no Python workers):
   repartitionByRange(key) → sortWithinPartitions(key) → persist →
   per-partition counts (1 small job) → driver prefix-sums →
-  mapInPandas numbering with broadcast offsets.
+  monotonically_increasing_id decomposed into (partition, row) +
+  broadcast join against the tiny (partition → offset) table.
 
 A ``Window.orderBy(key)`` row_number would funnel 10^12 rows through ONE
-partition; this stays fully parallel.
+partition; this stays fully parallel, and the only driver-side state is
+one long per partition.
 """
 
 from __future__ import annotations
 
-import numpy as np
-from pyspark import StorageLevel, TaskContext
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
+
+# monotonically_increasing_id layout: upper bits = partition id, lower 33
+# bits = row index within the partition (consecutive from 0)
+_ROW_BITS = 33
+_ROW_MASK = (1 << _ROW_BITS) - 1
 
 
 def assign_global_ids(
@@ -49,22 +56,20 @@ def assign_global_ids(
         .count()
         .collect()
     )
-    offsets: dict[int, int] = {}
+    offsets = []
     acc = 0
     for row in sorted(counts, key=lambda r: r["_pid"]):
-        offsets[row["_pid"]] = acc
+        offsets.append((row["_pid"], acc))
         acc += row["count"]
-    b_offsets = spark.sparkContext.broadcast(offsets)
+    offsets_df = spark.createDataFrame(offsets, "_pid INT, _offset LONG")
 
-    schema = T.StructType(list(df.schema.fields) + [T.StructField(id_col, T.LongType(), False)])
-
-    def number(batches):
-        pid = TaskContext.get().partitionId()
-        base = b_offsets.value.get(pid, 0)
-        seen = 0
-        for pdf in batches:
-            pdf[id_col] = np.arange(base + seen, base + seen + len(pdf), dtype=np.int64)
-            seen += len(pdf)
-            yield pdf
-
-    return ranged.mapInPandas(number, schema=schema)
+    numbered = ranged.select(
+        "*",
+        F.spark_partition_id().alias("_pid"),
+        F.monotonically_increasing_id().bitwiseAND(F.lit(_ROW_MASK)).alias("_row"),
+    )
+    return (
+        numbered.join(F.broadcast(offsets_df), "_pid")
+        .withColumn(id_col, (F.col("_offset") + F.col("_row")).cast("long"))
+        .drop("_pid", "_row", "_offset")
+    )

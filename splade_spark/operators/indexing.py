@@ -122,6 +122,17 @@ def doc_term_frequencies(
     return tf, doc_len
 
 
+def _corpus_stats(doc_len: DataFrame) -> tuple[int, float, int]:
+    """One stats job: (n_docs, avgdl, total_tokens). Raises on empty."""
+    row = doc_len.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"),
+        F.sum("dl").alias("total_tokens"),
+    ).collect()[0]
+    if row["n_docs"] == 0 or row["avgdl"] is None:
+        raise ValueError("build_index: corpus is empty — nothing to index")
+    return int(row["n_docs"]), float(row["avgdl"]), int(row["total_tokens"])
+
+
 def build_index(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -135,9 +146,39 @@ def build_index(
     weight float) — e.g. a SPLADE-style expansion (expander.py) — and BM25
     impact computation is skipped (the expansion already carries weights);
     otherwise classic BM25 impacts are computed from term frequencies.
+
+    Classic path is FUSED: the token arrays ride through the doc-numbering
+    range shuffle, so the token explode emits integer ``doc_idx`` (and
+    ``dl``) directly — the corpus-sized string join of a naive
+    tf ⋈ doc_dim plan never exists, and every wide shuffle downstream
+    carries int keys instead of url strings.
     """
-    tf, doc_len = doc_term_frequencies(docs, id_col, text_col, cfg)
-    return index_from_tf(tf, doc_len, cfg=cfg, weighted_terms=weighted_terms)
+    if weighted_terms is not None:
+        tf, doc_len = doc_term_frequencies(docs, id_col, text_col, cfg)
+        return index_from_tf(tf, doc_len, cfg=cfg, weighted_terms=weighted_terms)
+
+    toks = docs.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        tokens_col(text_col, cfg.max_tokens).alias("tokens"),
+    ).withColumn("dl", F.size("tokens").cast("int"))
+    # deterministic global doc numbering: ascending doc_id (SURVEY §4.3.5);
+    # `numbered` is backed by assign_global_ids' internal range cache, so
+    # traversing it twice below does not re-tokenize the corpus
+    numbered = assign_global_ids(
+        toks, key="doc_id", id_col="doc_idx",
+        num_partitions=cfg.index_partitions,
+    )
+    doc_dim = numbered.select("doc_idx", "doc_id", "dl").persist()
+    stats = _corpus_stats(doc_dim)
+    tf_idx = (
+        numbered.select("doc_idx", "dl", F.explode("tokens").alias("term"))
+        .groupBy("doc_idx", "dl", "term")  # dl is doc-functional: free rider
+        .agg(F.count(F.lit(1)).cast("int").alias("tf"))
+        .persist()
+    )
+    idx = _finish_classic(tf_idx, doc_dim, stats, cfg)
+    tf_idx.unpersist()
+    return idx
 
 
 def index_from_tf(
@@ -148,72 +189,97 @@ def index_from_tf(
 ) -> InvertedIndex:
     """Index build from pre-tokenized inputs: ``tf`` = (doc_id string, term
     string, tf int), ``doc_len`` = (doc_id string, dl int). This is the
-    stage-2 entry the resumable path (checkpoint.py) uses after restoring
-    tf/dl shards — mirroring the reference's encode→index split
-    (/root/reference/script/index.py vs script/encode.py)."""
-    spark = tf.sparkSession
-    # persist the tokenize output: every downstream job (stats, ids, DF
-    # counts, postings) reuses it instead of re-reading + re-tokenizing the
-    # corpus — at 100 TB this is the difference between 1 and 5 scans.
-    if weighted_terms is None:
-        tf = tf.persist()
+    stage-2 entry the resumable path (checkpoint.py) and the streaming
+    fold (streaming/stream_index.py) use after restoring tf/dl shards —
+    mirroring the reference's encode→index split
+    (/root/reference/script/index.py vs script/encode.py). Pays one
+    doc_id-string equi-join to reach integer doc space (the fused
+    build_index path avoids it when raw text is available)."""
     doc_len = doc_len.persist()
-
-    # single stats job (n_docs, avgdl, total_tokens)
-    stats = doc_len.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"),
-        F.sum("dl").alias("total_tokens"),
-    ).collect()[0]
-    if stats["n_docs"] == 0 or stats["avgdl"] is None:
-        raise ValueError("build_index: corpus is empty — nothing to index")
-    n_docs, avgdl = int(stats["n_docs"]), float(stats["avgdl"])
-
-    # deterministic global doc numbering: ascending doc_id (SURVEY §4.3.5)
+    stats = _corpus_stats(doc_len)
     doc_dim = assign_global_ids(
-        doc_len, key="doc_id",
-        id_col="doc_idx", num_partitions=cfg.index_partitions,
+        doc_len, key="doc_id", id_col="doc_idx",
+        num_partitions=cfg.index_partitions,
     ).select("doc_idx", "doc_id", "dl").persist()
 
     if weighted_terms is None:
-        source = tf
+        tf_idx = (
+            tf.join(doc_dim.select("doc_id", "doc_idx", "dl"), "doc_id")
+            .select("doc_idx", "dl", "term", "tf")
+            .persist()
+        )
+        idx = _finish_classic(tf_idx, doc_dim, stats, cfg)
     else:
-        source = weighted_terms
+        tf_idx = (
+            weighted_terms.join(doc_dim.select("doc_id", "doc_idx"), "doc_id")
+            .select("doc_idx", "term", F.col("weight").cast("float").alias("weight"))
+            .persist()
+        )
+        idx = _finish_weighted(tf_idx, doc_dim, stats, cfg)
+    tf_idx.unpersist()
+    doc_len.unpersist()
+    return idx
 
-    # pass 1 — document frequency per term (sparse_index.py:621-632)
+
+def _term_dict(source: DataFrame, n_docs: int, cfg: EngineConfig) -> DataFrame:
+    """pass 1 — document frequency per term (sparse_index.py:621-632),
+    then dictionary-code terms: deterministic term_id = rank of term asc.
+    AQE broadcasts the dictionary join downstream while the vocab is
+    small; at web scale it becomes a shuffled hash join on the term key."""
     df_counts = source.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    # dictionary-code terms: deterministic term_id = rank of term asc
-    term_dict = assign_global_ids(
+    return assign_global_ids(
         df_counts, key="term", id_col="term_id",
         num_partitions=cfg.index_partitions,
     ).select(
         "term_id", "term", "df",
-        F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)).alias("idf"),
+        F.log(
+            F.lit(1.0)
+            + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        ).alias("idf"),
     ).persist()
 
-    if weighted_terms is None:
-        # BM25 impact weight per (doc, term): idf * tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl))
-        k1, b = float(cfg.k1), float(cfg.b)
-        joined = (
-            source.join(doc_dim.select("doc_id", "doc_idx", "dl"), "doc_id")
-            .join(term_dict.select("term", "term_id", "df", "idf"), "term")
-        )
-        weighted = joined.select(
-            "term_id", "doc_idx",
-            (
-                F.col("idf") * F.col("tf") * (k1 + 1.0)
-                / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl)))
-            ).cast("float").alias("weight"),
-            "df",
-        )
-    else:
-        joined = (
-            source.join(doc_dim.select("doc_id", "doc_idx"), "doc_id")
-            .join(term_dict.select("term", "term_id", "df"), "term")
-        )
-        weighted = joined.select(
-            "term_id", "doc_idx", F.col("weight").cast("float").alias("weight"), "df"
-        )
 
+def _finish_classic(
+    tf_idx: DataFrame, doc_dim: DataFrame, stats: tuple[int, float, int],
+    cfg: EngineConfig,
+) -> InvertedIndex:
+    """(doc_idx, dl, term, tf) → index. BM25 impact weight per (doc, term):
+    idf · tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)) — SURVEY §4.3.1."""
+    n_docs, avgdl, _ = stats
+    term_dict = _term_dict(tf_idx, n_docs, cfg)
+    k1, b = float(cfg.k1), float(cfg.b)
+    weighted = tf_idx.join(
+        term_dict.select("term", "term_id", "df", "idf"), "term"
+    ).select(
+        "term_id", "doc_idx",
+        (
+            F.col("idf") * F.col("tf") * (k1 + 1.0)
+            / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl)))
+        ).cast("float").alias("weight"),
+        "df",
+    )
+    return _assemble(weighted, term_dict, doc_dim, stats, cfg, "bm25")
+
+
+def _finish_weighted(
+    wt_idx: DataFrame, doc_dim: DataFrame, stats: tuple[int, float, int],
+    cfg: EngineConfig,
+) -> InvertedIndex:
+    """(doc_idx, term, weight) → index, weights carried from an external
+    encoder (e.g. the SPLADE-style expander)."""
+    n_docs = stats[0]
+    term_dict = _term_dict(wt_idx, n_docs, cfg)
+    weighted = wt_idx.join(
+        term_dict.select("term", "term_id", "df"), "term"
+    ).select("term_id", "doc_idx", "weight", "df")
+    return _assemble(weighted, term_dict, doc_dim, stats, cfg, "external")
+
+
+def _assemble(
+    weighted: DataFrame, term_dict: DataFrame, doc_dim: DataFrame,
+    stats: tuple[int, float, int], cfg: EngineConfig, weighting: str,
+) -> InvertedIndex:
+    n_docs, avgdl, total_tokens = stats
     # strict > min_weight filter (sparse_index.py:65-68)
     weighted = weighted.filter(F.col("weight") > float(cfg.min_weight))
 
@@ -229,18 +295,12 @@ def index_from_tf(
         )
 
     postings = build_posting_blocks(weighted, n_docs, cfg).persist()
-
     nnz = postings.agg(F.sum("n_postings")).collect()[0][0]
-    # tokenize intermediates are now fully consumed (postings materialized,
-    # doc_dim/term_dict persisted) — release the executors' cache
-    if weighted_terms is None:
-        tf.unpersist()
-    doc_len.unpersist()
     meta = {
         "format": "splade_spark.postings.v1",
         "n_docs": n_docs,
         "avgdl": avgdl,
-        "total_tokens": int(stats["total_tokens"]),
+        "total_tokens": total_tokens,
         "nnz": int(nnz or 0),
         "k1": cfg.k1,
         "b": cfg.b,
@@ -249,7 +309,7 @@ def index_from_tf(
         "min_weight": cfg.min_weight,
         "top_k_terms": cfg.top_k_terms,
         "tokenizer": "lower_alnum_v1",
-        "weighting": "bm25" if weighted_terms is None else "external",
+        "weighting": weighting,
         "index_partitions": cfg.index_partitions,
         # sparsify settings frozen into metadata and mirrored at query time,
         # as the reference does (script/index.py:111-121, retrieval.py:133-144)

@@ -41,3 +41,22 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def warm_python_workers(spark: SparkSession, width: int | None = None) -> None:
+    """Fork + import-warm one Arrow Python worker per core.
+
+    The first pandas-UDF stage of a session otherwise pays the whole
+    pandas/pyarrow import storm (~0.5s × cores, concurrent) inside real
+    work. A long-lived cluster's executors are warm; benchmarks should
+    measure the engine, not the one-time daemon startup."""
+    width = width or spark.sparkContext.defaultParallelism
+
+    def _noop(batches):
+        yield from batches
+
+    (
+        spark.range(width * 4, numPartitions=width)
+        .mapInPandas(_noop, schema="id long")
+        .count()
+    )

@@ -1,0 +1,110 @@
+"""Structured Streaming ingestion: streamed shards must produce the same
+index as the batch build; restart must not duplicate batches; windowed
+telemetry must match a batch aggregation."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from splade_spark.config import EngineConfig
+from splade_spark.fixtures import gen_pages
+from splade_spark.operators.indexing import build_index
+from splade_spark.streaming.stream_index import (
+    build_index_from_batches,
+    start_ingest_stats_stream,
+    start_shard_stream,
+    stream_corpus,
+)
+
+N_DOCS = 120
+CFG = EngineConfig(block_size=64, index_partitions=4)
+SCHEMA = "url STRING, warc_ts TIMESTAMP, text STRING"
+
+
+@pytest.fixture(scope="module")
+def staged(spark, tmp_path_factory):
+    """Corpus staged as three parquet 'drops' (micro-batch sources)."""
+    src = str(tmp_path_factory.mktemp("stream_src"))
+    pages = gen_pages(N_DOCS, seed=42)
+    pdf = pages[["url", "warc_ts", "text"]]
+    for i, chunk in enumerate((pdf[:40], pdf[40:80], pdf[80:])):
+        # one file per drop, written in event-time order: the file stream
+        # picks them up oldest-first so the watermark never drops a full
+        # window as late
+        spark.createDataFrame(chunk).repartition(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(src, f"drop{i}"))
+    return src, pages
+
+
+def test_streamed_shards_equal_batch_index(spark, staged, tmp_path_factory):
+    src, pages = staged
+    out = str(tmp_path_factory.mktemp("stream_out"))
+    ckpt = str(tmp_path_factory.mktemp("stream_ckpt"))
+
+    pattern = os.path.join(src, "drop*")
+    q = start_shard_stream(
+        stream_corpus(spark, pattern, SCHEMA), out, ckpt, cfg=CFG,
+        available_now=True,
+    )
+    q.awaitTermination(120)
+
+    # restart on the same checkpoint: nothing new → no duplicate shards
+    n_tf = spark.read.parquet(os.path.join(out, "tf")).count()
+    q2 = start_shard_stream(
+        stream_corpus(spark, pattern, SCHEMA), out, ckpt, cfg=CFG,
+        available_now=True,
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(os.path.join(out, "tf")).count() == n_tf
+
+    idx_stream = build_index_from_batches(spark, out, cfg=CFG)
+    docs = spark.createDataFrame(pages[["url", "text"]])
+    idx_batch = build_index(docs, id_col="url", text_col="text", cfg=CFG)
+    assert idx_stream.meta["n_docs"] == idx_batch.meta["n_docs"] == N_DOCS
+    assert idx_stream.meta["nnz"] == idx_batch.meta["nnz"]
+    assert idx_stream.meta["avgdl"] == pytest.approx(idx_batch.meta["avgdl"])
+    # identical postings layout: same per-term block stats
+    def sig(idx):
+        return sorted(
+            (r["term_id"], r["block_id"], r["n_postings"], r["min_doc"],
+             r["max_doc"], round(float(r["max_weight"]), 5))
+            for r in idx.postings.collect()
+        )
+    assert sig(idx_stream) == sig(idx_batch)
+    idx_stream.unpersist()
+    idx_batch.unpersist()
+
+
+def test_windowed_ingest_stats(spark, staged, tmp_path_factory):
+    src, pages = staged
+    out = str(tmp_path_factory.mktemp("stats_out"))
+    ckpt = str(tmp_path_factory.mktemp("stats_ckpt"))
+    # one file per micro-batch so the watermark advances batch-to-batch
+    # (append mode emits a window only once the watermark passes its end;
+    # a single giant batch would close nothing)
+    q = start_ingest_stats_stream(
+        stream_corpus(spark, os.path.join(src, "drop*"), SCHEMA,
+                      max_files_per_trigger=1),
+        out, ckpt, cfg=CFG, available_now=True,
+        window="30 seconds", watermark="10 seconds",
+    )
+    q.awaitTermination(180)
+    got = spark.read.parquet(out)
+    # batch oracle: same windowed agg without streaming
+    batch = (
+        spark.createDataFrame(pages[["url", "warc_ts", "text"]])
+        .groupBy(F.window("warc_ts", "30 seconds"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    got_rows = {
+        (r["window_start"], r["n_docs"]) for r in got.collect()
+    }
+    batch_rows = {
+        (r["window"]["start"], r["n_docs"]) for r in batch.collect()
+    }
+    # closed windows must agree exactly with the batch oracle; the tail
+    # windows past the final watermark stay open (append-mode semantics)
+    assert got_rows <= batch_rows
+    assert len(got_rows) >= 1
