@@ -1134,6 +1134,254 @@ def customer_order_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Evaluation family: retrieval metrics + reranking (SURVEY §2.4 A9, §2.3
+# J4/J5, §2.8 F8; reference src/metric/retrieval.py + pl_module/retrieval.py)
+# ---------------------------------------------------------------------------
+
+# Deterministic synthetic qrels over the documents table: query i (1-based)
+# is relevant to docs with doc_id < 400 and doc_id % 41 == (3*i) % 41,
+# graded relevance 1 + (doc_id % 3). Pure arithmetic → identical in Spark
+# and DuckDB, no external data.
+QREL_MOD, QREL_MAX_DOC = 41, 400
+_QIDX_SQL = ", ".join(f"('q{i:02d}', {i})" for i in range(1, len(BM25_QUERIES) + 1))
+
+_QRELS_DUCK = f"""
+qrels AS (
+  SELECT qi.query_id, d.doc_id, CAST(1 + (d.doc_id % 3) AS DOUBLE) AS relevance
+  FROM (VALUES {_QIDX_SQL}) AS qi(query_id, i)
+  JOIN documents d
+    ON d.doc_id < {QREL_MAX_DOC} AND d.doc_id % {QREL_MOD} = (3 * qi.i) % {QREL_MOD}
+)"""
+
+RESULTS_K = 20  # retrieved depth fed into the metrics stage
+METRIC_KS = DEFAULT.k_list
+
+
+def _qrels_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    qi = spark.createDataFrame(
+        [(f"q{i:02d}", i) for i in range(1, len(BM25_QUERIES) + 1)], "query_id string, i int"
+    )
+    d = _docs(spark, sf_dir).select("doc_id").filter(F.col("doc_id") < QREL_MAX_DOC)
+    return d.join(
+        F.broadcast(qi), (F.col("doc_id") % QREL_MOD) == (3 * F.col("i")) % QREL_MOD
+    ).select(
+        "query_id", "doc_id",
+        (1 + F.col("doc_id") % 3).cast("double").alias("relevance"),
+    )
+
+
+_METRICS_SQL = (
+    _BM25_BODY.replace("{TOK}", tokens_sql("text"))
+    .replace("{QTOK}", tokens_sql("qtext"))
+    .replace("{STR}", "VARCHAR").replace("{UNNEST}", "unnest")
+    + f""",
+results AS (
+  SELECT query_id, doc_id, score, rank FROM ranked WHERE rank <= {RESULTS_K}
+),
+{_QRELS_DUCK},
+labeled AS (
+  SELECT r.query_id, r.doc_id, r.score, coalesce(qr.relevance, 0.0) AS rel
+  FROM results r LEFT JOIN qrels qr
+    ON qr.query_id = r.query_id AND qr.doc_id = r.doc_id
+),
+sentinels AS (SELECT query_id, min(score) - 1.0 AS s FROM results GROUP BY query_id),
+missed AS (
+  -- qrels positives not retrieved, appended at min(score) - 1 (J5/F8)
+  SELECT qr.query_id, qr.doc_id, s.s AS score, qr.relevance AS rel
+  FROM qrels qr
+  JOIN sentinels s ON s.query_id = qr.query_id
+  LEFT JOIN results r ON r.query_id = qr.query_id AND r.doc_id = qr.doc_id
+  WHERE r.doc_id IS NULL AND qr.relevance > 0
+),
+full_set AS (SELECT * FROM labeled UNION ALL SELECT * FROM missed),
+rr AS (
+  SELECT query_id, doc_id, rel,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM full_set
+),
+ks AS (SELECT unnest([{", ".join(str(k) for k in METRIC_KS)}]) AS k),
+npos AS (SELECT query_id, count(*) AS n_pos FROM full_set WHERE rel > 0 GROUP BY query_id),
+topk AS (SELECT ks.k, rr.* FROM rr CROSS JOIN ks WHERE rr.rank <= ks.k),
+perq AS (
+  SELECT k, query_id,
+         max(CASE WHEN rel > 0 THEN 1.0 ELSE 0.0 END) AS hit,
+         sum(CASE WHEN rel > 0 THEN 1.0 ELSE 0.0 END) AS n_hits,
+         max(CASE WHEN rel > 0 THEN 1.0 / rank ELSE 0.0 END) AS mrr,
+         sum((pow(2.0, rel) - 1.0) / log2(rank + 1.0)) AS dcg
+  FROM topk GROUP BY k, query_id
+),
+ap AS (
+  SELECT k, query_id, sum(cum_hits / rank) AS ap_sum FROM (
+    SELECT k, query_id, rank, rel,
+           sum(CASE WHEN rel > 0 THEN 1.0 ELSE 0.0 END)
+             OVER (PARTITION BY k, query_id ORDER BY rank) AS cum_hits
+    FROM topk
+  ) WHERE rel > 0 GROUP BY k, query_id
+),
+idcg AS (
+  SELECT k, query_id, sum((pow(2.0, rel) - 1.0) / log2(irank + 1.0)) AS idcg FROM (
+    SELECT ks.k, f.query_id, f.rel,
+           row_number() OVER (PARTITION BY ks.k, f.query_id ORDER BY f.rel DESC) AS irank
+    FROM full_set f CROSS JOIN ks WHERE f.rel > 0
+  ) WHERE irank <= k GROUP BY k, query_id
+),
+perq2 AS (
+  SELECT p.k, p.query_id, p.hit, p.mrr,
+         CASE WHEN n.n_pos > 0 THEN p.n_hits / least(n.n_pos, p.k) ELSE 0.0 END AS recall,
+         CASE WHEN n.n_pos > 0 THEN coalesce(a.ap_sum, 0.0) / least(n.n_pos, p.k)
+              ELSE 0.0 END AS map_v,
+         CASE WHEN i.idcg > 0 THEN p.dcg / i.idcg ELSE 0.0 END AS ndcg
+  FROM perq p
+  LEFT JOIN npos n ON n.query_id = p.query_id
+  LEFT JOIN ap a ON a.k = p.k AND a.query_id = p.query_id
+  LEFT JOIN idcg i ON i.k = p.k AND i.query_id = p.query_id
+),
+final AS (
+  SELECT k, avg(hit) AS hitrate, avg(mrr) AS mrr, avg(map_v) AS map_v,
+         avg(recall) AS recall, avg(ndcg) AS ndcg
+  FROM perq2 GROUP BY k
+)
+SELECT metric, CAST(k AS INT) AS k,
+       CAST(round(value * 1000000) AS BIGINT) AS value_micro
+FROM (
+  SELECT k, 'HitRate' AS metric, hitrate AS value FROM final
+  UNION ALL SELECT k, 'MRR', mrr FROM final
+  UNION ALL SELECT k, 'MAP', map_v FROM final
+  UNION ALL SELECT k, 'Recall', recall FROM final
+  UNION ALL SELECT k, 'nDCG', ndcg FROM final
+)
+"""
+)
+
+
+@register("retrieval_metrics_bm25", _METRICS_SQL)
+def retrieval_metrics_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full evaluation harness: BM25 ranking → label join vs deterministic
+    qrels (J4) with the missed-positive min−1 sentinel (J5/F8,
+    /root/reference/src/model/pl_module/retrieval.py:236-241) → HitRate/
+    MRR/MAP/Recall/nDCG at the reference k_list (A9,
+    /root/reference/src/metric/retrieval.py:59-78)."""
+    from .operators.metrics import retrieval_metrics
+
+    _docs(spark, sf_dir).createOrReplaceTempView("documents")
+    ranked = spark.sql(
+        _BM25_BODY.replace("{TOK}", tokens_sparksql("text"))
+        .replace("{QTOK}", tokens_sparksql("qtext"))
+        .replace("{STR}", "STRING").replace("{UNNEST}", "explode")
+        + f"SELECT query_id, doc_id, score, rank FROM ranked WHERE rank <= {RESULTS_K}"
+    )
+    qrels = _qrels_df(spark, sf_dir)
+    m = retrieval_metrics(ranked.select("query_id", "doc_id", "score"), qrels)
+    return m.select(
+        "metric", F.col("k").cast("int").alias("k"),
+        F.round(F.col("value") * 1e6).cast("bigint").alias("value_micro"),
+    )
+
+
+# Reranking path (reference src/model/pl_module/reranking.py:128-192):
+# score only fixed (query, candidate) pairs — no index, brute-force dot
+# products over the BM25 impact weights. Candidates are deterministic:
+# doc_id < 300 with doc_id % 13 == i % 13.
+RERANK_MOD, RERANK_MAX_DOC = 13, 300
+
+_RERANK_SQL = (
+    _BM25_BODY.replace("{TOK}", tokens_sql("text"))
+    .replace("{QTOK}", tokens_sql("qtext"))
+    .replace("{STR}", "VARCHAR").replace("{UNNEST}", "unnest")
+    + f""",
+cand AS (
+  SELECT qi.query_id, d.doc_id
+  FROM (VALUES {_QIDX_SQL}) AS qi(query_id, i)
+  JOIN documents d
+    ON d.doc_id < {RERANK_MAX_DOC} AND d.doc_id % {RERANK_MOD} = qi.i % {RERANK_MOD}
+),
+cscore AS (
+  SELECT c.query_id, c.doc_id, coalesce(s.score, 0.0) AS score
+  FROM cand c LEFT JOIN scored s
+    ON s.query_id = c.query_id AND s.doc_id = c.doc_id
+)
+SELECT query_id, doc_id,
+       CAST(round(score * 1000) AS BIGINT) AS score_milli,
+       CAST(row_number() OVER (
+         PARTITION BY query_id ORDER BY round(score * 1000) DESC, doc_id ASC
+       ) AS INT) AS rank
+FROM cscore
+"""
+)
+
+
+@register("rerank_candidates", _RERANK_SQL)
+def rerank_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-free reranking: BM25-score a fixed candidate join only
+    (reference reranking path, SURVEY §3.3) — the built-in differential
+    oracle for the index path. Candidates with no term overlap keep
+    score 0, as the reference's dense bmm does."""
+    from .operators.indexing import doc_term_frequencies
+
+    docs = _docs(spark, sf_dir)
+    tf, doc_len = doc_term_frequencies(docs.select("doc_id", "text"))
+    stats = doc_len.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+    ).collect()[0]
+    n_docs, avgdl = int(stats["n"]), float(stats["avgdl"])
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    qi = spark.createDataFrame(
+        [(f"q{i:02d}", i, BM25_QUERIES[i - 1][1]) for i in range(1, len(BM25_QUERIES) + 1)],
+        "query_id string, i int, qtext string",
+    )
+    qterms = (
+        qi.select("query_id", F.explode(tokens_col("qtext")).alias("term"))
+        .groupBy("query_id", "term").agg(F.count(F.lit(1)).alias("qtf"))
+    )
+    cand = (
+        _docs(spark, sf_dir).select("doc_id").filter(F.col("doc_id") < RERANK_MAX_DOC)
+        .join(F.broadcast(qi.select("query_id", "i")),
+              (F.col("doc_id") % RERANK_MOD) == F.col("i") % RERANK_MOD)
+        .select("query_id", "doc_id")
+    )
+    idf = F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    scored = (
+        F.broadcast(qterms).join(tf.withColumn("doc_id", F.col("doc_id").cast("bigint")), "term")
+        .join(F.broadcast(dfreq), "term")
+        .join(doc_len.withColumn("doc_id", F.col("doc_id").cast("bigint")), "doc_id")
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum(
+                F.col("qtf") * idf * F.col("tf") * (K1 + 1.0)
+                / (F.col("tf") + K1 * (1.0 - B + B * F.col("dl") / F.lit(avgdl)))
+            ).alias("score")
+        )
+    )
+    cscore = cand.join(scored, ["query_id", "doc_id"], "left").select(
+        "query_id", "doc_id", F.coalesce("score", F.lit(0.0)).alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round(F.col("score") * 1000)), F.asc("doc_id")
+    )
+    return cscore.select(
+        "query_id", "doc_id",
+        F.round(F.col("score") * 1000).cast("bigint").alias("score_milli"),
+        F.row_number().over(w).cast("int").alias("rank"),
+    )
+
+
+@register(
+    "sample_window",
+    """
+SELECT doc_id, source, lang FROM documents ORDER BY doc_id OFFSET 100 LIMIT 50
+""",
+)
+def sample_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample window — skip N, take M in a deterministic order (S3,
+    /root/reference/src/data/dataset/base.py:268-279)."""
+    return (
+        _docs(spark, sf_dir).select("doc_id", "source", "lang")
+        .orderBy("doc_id").offset(100).limit(50)
+    )
+
+
 @register(
     "events_running_sum",
     """
