@@ -44,7 +44,7 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    bench_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "20000"))
+    bench_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "100000"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
 
     from splade_spark.config import DEFAULT
@@ -86,16 +86,30 @@ def main() -> None:
     idx.term_dict.persist().count()
     idx.doc_dim.persist().count()
     qdf = gen_queries(20, pages, seed=43)
+    # single-query serving latency via the local strategy (same compressed
+    # blocks + WAND kernel, one Spark job per query; the distributed wand/
+    # exhaustive strategies are the batch-throughput route — see
+    # operators/query.py score_local); one warmup query first
+    warm = spark.createDataFrame(
+        [(qdf.iloc[0]["query_id"], qdf.iloc[0]["text"])],
+        "query_id string, text string",
+    )
+    retrieve(idx, warm, k=DEFAULT.top_k, strategy="local").collect()
     lat_ms: list[float] = []
     for _, row in qdf.iterrows():
         one = spark.createDataFrame(
             [(row["query_id"], row["text"])], "query_id string, text string"
         )
         t0 = time.perf_counter()
-        retrieve(idx, one, k=DEFAULT.top_k, strategy="wand").collect()
+        retrieve(idx, one, k=DEFAULT.top_k, strategy="local").collect()
         lat_ms.append((time.perf_counter() - t0) * 1000.0)
     p50 = statistics.median(lat_ms)
     p95 = sorted(lat_ms)[int(0.95 * (len(lat_ms) - 1))]
+    # batch-throughput figure: all 20 queries in one distributed WAND job
+    qall = spark.createDataFrame(qdf[["query_id", "text"]])
+    t0 = time.perf_counter()
+    retrieve(idx, qall, k=DEFAULT.top_k, strategy="wand").collect()
+    batch_sec = time.perf_counter() - t0
 
     out = {
         "metric": "headline_suite_wall",
@@ -109,6 +123,7 @@ def main() -> None:
         "index_posting_blocks": int(n_blocks),
         "query_p50_ms": round(p50, 1),
         "query_p95_ms": round(p95, 1),
+        "batch20_wand_sec": round(batch_sec, 3),
         "cpus": int(cpus),
     }
     spark.stop()

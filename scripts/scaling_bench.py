@@ -105,8 +105,7 @@ def main() -> None:
     if not os.path.isdir(input_dir) or not os.listdir(input_dir):
         gen_input(n_docs, input_dir)
 
-    results = {}
-    for cpus in (8, 32):
+    def one(cpus: int) -> dict:
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--one", str(cpus), input_dir],
             capture_output=True, text=True, timeout=7200,
@@ -116,14 +115,31 @@ def main() -> None:
             print(proc.stdout[-3000:], file=sys.stderr)
             print(proc.stderr[-3000:], file=sys.stderr)
             raise RuntimeError(f"measurement at local[{cpus}] failed")
-        results[cpus] = json.loads(line[-1][len("RESULT "):])
+        return json.loads(line[-1][len("RESULT "):])
 
-    eff = (results[32]["docs_per_sec"] / results[8]["docs_per_sec"]) / 4.0
+    # Interleaved-pair protocol: this sandbox VM's deliverable throughput
+    # swings >2x between multi-minute periods (see BENCH.md "machine
+    # ceiling"), so a single (N, 4N) pair mostly samples VM state. Each
+    # repeat runs N and 4N back-to-back and contributes one RATIO; the
+    # median ratio is the reported efficiency.
+    repeats = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "3"))
+    pairs = []
+    runs = []
+    for i in range(repeats):
+        lo = one(8)
+        hi = one(32)
+        eff = (hi["docs_per_sec"] / lo["docs_per_sec"]) / 4.0
+        pairs.append(round(eff, 3))
+        runs.append({"round": i + 1, "lo": lo, "hi": hi, "efficiency": round(eff, 3)})
+        print(f"pair {i+1}/{repeats}: {lo['docs_per_sec']} -> "
+              f"{hi['docs_per_sec']} docs/s, eff {eff:.3f}", file=sys.stderr)
+    med = sorted(pairs)[len(pairs) // 2]
     summary = {
         "metric": "index_build_scaling_efficiency",
-        "value": round(eff, 3),
-        "unit": "ratio (target >= 0.8, N=8 -> 4N=32 cores)",
-        "runs": results,
+        "value": med,
+        "unit": "median ratio over interleaved pairs (target >= 0.8, N=8 -> 4N=32 cores)",
+        "pair_efficiencies": pairs,
+        "runs": runs,
         "docs": n_docs,
     }
     print(json.dumps(summary))

@@ -1383,6 +1383,108 @@ def sample_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "html_text_extraction",
+    """
+WITH pages AS (
+  SELECT doc_id,
+         encode('<html><head><title>doc ' || CAST(doc_id AS VARCHAR)
+                || '</title></head><body><p>' || text || '</p></body></html>') AS html,
+         text
+  FROM documents WHERE doc_id < 200
+),
+ex AS (
+  SELECT doc_id, text,
+         regexp_replace(decode(html), '<[^>]*>', '', 'g') AS extracted
+  FROM pages
+)
+SELECT doc_id, md5(extracted) AS extracted_md5,
+       CASE WHEN extracted = 'doc ' || CAST(doc_id AS VARCHAR) || text
+            THEN 1 ELSE 0 END AS byte_identical
+FROM ex
+""",
+)
+def html_text_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-identical per-url text extraction from the html binary column
+    (BASELINE.json input_hint; reference text rule
+    /root/reference/src/data/dataset/base.py:495-508). Pages are
+    synthesized from the documents table so both sides see identical
+    bytes; the engine extracts with functions.tokenize.extract_text_html
+    and proves the extracted text equals title+text bytes exactly."""
+    from .functions.tokenize import extract_text_html
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+    pages = docs.select(
+        "doc_id", "text",
+        F.encode(
+            F.concat(
+                F.lit("<html><head><title>doc "),
+                F.col("doc_id").cast("string"),
+                F.lit("</title></head><body><p>"),
+                F.col("text"),
+                F.lit("</p></body></html>"),
+            ),
+            "UTF-8",
+        ).alias("html"),
+    )
+    ex = pages.select(
+        "doc_id", "text", extract_text_html("html").alias("extracted")
+    )
+    return ex.select(
+        "doc_id",
+        F.md5("extracted").alias("extracted_md5"),
+        F.when(
+            F.col("extracted")
+            == F.concat(F.lit("doc "), F.col("doc_id").cast("string"), F.col("text")),
+            1,
+        ).otherwise(0).alias("byte_identical"),
+    )
+
+
+@register(
+    "tsv_triplet_scan",
+    f"""
+WITH lines AS (
+  SELECT CAST(doc_id AS VARCHAR) || chr(9) || source || chr(9) || md5(text)
+         AS line
+  FROM documents WHERE doc_id < 150 AND doc_id % 7 <> 0
+  UNION ALL
+  SELECT 'malformed-line-no-tabs' -- must be skipped by the parser
+),
+parsed AS (
+  SELECT string_split(line, chr(9)) AS f FROM lines
+)
+SELECT CAST(f[1] AS BIGINT) AS doc_id, f[2] AS source, f[3] AS text_md5
+FROM parsed WHERE len(f) = 3
+""",
+)
+def tsv_triplet_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TSV line scan with malformed-row skip (S4,
+    /root/reference/src/data/dataset/base.py:281-308 — 3-column raw.tsv
+    parse, skip lines with the wrong field count). The Spark side writes
+    real TSV files to a temp dir, reads them back with the text source,
+    splits, and drops malformed rows."""
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="splade_tsv_")
+    docs = _docs(spark, sf_dir).filter(
+        (F.col("doc_id") < 150) & (F.col("doc_id") % 7 != 0)
+    )
+    lines = docs.select(
+        F.concat_ws("\t", F.col("doc_id").cast("string"), "source", F.md5("text"))
+        .alias("value")
+    ).unionByName(
+        spark.createDataFrame([("malformed-line-no-tabs",)], "value string")
+    )
+    lines.write.mode("overwrite").text(out)
+    parsed = spark.read.text(out).select(F.split("value", "\t").alias("f"))
+    return parsed.filter(F.size("f") == 3).select(
+        F.element_at("f", 1).cast("bigint").alias("doc_id"),
+        F.element_at("f", 2).alias("source"),
+        F.element_at("f", 3).alias("text_md5"),
+    )
+
+
+@register(
     "events_running_sum",
     """
 SELECT event_id, user_id,

@@ -36,20 +36,24 @@ def assign_global_ids(
     key: str,
     id_col: str,
     num_partitions: int | None = None,
+    persist: bool = True,
 ) -> DataFrame:
     """Add ``id_col`` (long, 0-based dense rank of ``key`` asc) to ``df``.
 
-    Keys must be unique. Returns a DataFrame backed by a persisted ranged
-    sort; call ``.unpersist()`` on it when downstream results are
-    materialized, or just let it age out.
+    Keys must be unique. The internal persist of the ranged sort is a
+    CORRECTNESS requirement, not a cache: the partition-counts job and the
+    data job(s) would otherwise re-execute the range exchange under
+    different column-pruned plans, and RangePartitioner re-SAMPLES its
+    boundaries per plan — the same key can land in different partitions
+    across jobs, misaligning the driver-side offsets (observed as id
+    collisions). Freezing one materialized partition assignment makes the
+    counts provably describe the rows the data jobs read.
     """
     spark = df.sparkSession
     n_part = num_partitions or spark.sparkContext.defaultParallelism
-    ranged = (
-        df.repartitionByRange(n_part, F.col(key))
-        .sortWithinPartitions(key)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    ranged = df.repartitionByRange(n_part, F.col(key)).sortWithinPartitions(key)
+    if persist:
+        ranged = ranged.persist(StorageLevel.MEMORY_AND_DISK)
     counts = (
         ranged.select(F.spark_partition_id().alias("_pid"))
         .groupBy("_pid")

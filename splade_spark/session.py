@@ -35,6 +35,18 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Throughput GC: G1's concurrent cycles contend with mutator threads
+        # at high local parallelism on allocation-heavy stages (measured: a
+        # 70M-row string explode runs 1.7x SLOWER at local[32] than local[8]
+        # under G1, and scales ~0.85-efficient under ParallelGC). A real
+        # cluster sets this per-executor via spark.executor.extraJavaOptions.
+        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
+        # Shuffle/spill on tmpfs: this sandbox's block device is
+        # burst-throttled (shuffle-heavy jobs swing >2x run-to-run while
+        # CPU-bound work is steady), and the host has RAM to spare. A real
+        # cluster points this at local NVMe per executor.
+        .config("spark.local.dir",
+                os.environ.get("SPARK_LOCAL_DIRS", "/dev/shm/spark-local"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

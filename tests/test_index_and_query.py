@@ -113,7 +113,7 @@ def _rank_check(engine_rows, oracle_topk, qid):
             ), f"{qid}: rank mismatch {gd} vs {wd}"
 
 
-@pytest.mark.parametrize("strategy", ["exhaustive", "wand"])
+@pytest.mark.parametrize("strategy", ["exhaustive", "wand", "local"])
 def test_topk_rank_identical(spark, corpus, spark_index, oracle_index, strategy):
     pages, queries = corpus
     qdf = spark.createDataFrame(queries)
@@ -133,11 +133,12 @@ def test_topk_rank_identical(spark, corpus, spark_index, oracle_index, strategy)
     assert n_nonempty > N_QUERIES // 2
 
 
-def test_wand_equals_exhaustive(spark, corpus, spark_index):
+@pytest.mark.parametrize("other", ["wand", "local"])
+def test_strategies_equal_exhaustive(spark, corpus, spark_index, other):
     _, queries = corpus
     qdf = spark.createDataFrame(queries)
     a = retrieve(spark_index, qdf, k=K, strategy="exhaustive").collect()
-    b = retrieve(spark_index, qdf, k=K, strategy="wand").collect()
+    b = retrieve(spark_index, qdf, k=K, strategy=other).collect()
     ka = {(r["query_id"], r["rank"]): (r["doc_id"], r["score"]) for r in a}
     kb = {(r["query_id"], r["rank"]): (r["doc_id"], r["score"]) for r in b}
     assert ka.keys() == kb.keys()
