@@ -17,7 +17,8 @@ def main() -> None:
     ap.add_argument("--queries", required=True, help="parquet: query_id, text")
     ap.add_argument("--output", required=True)
     ap.add_argument("--k", type=int, default=10)
-    ap.add_argument("--strategy", default="wand", choices=["wand", "exhaustive"])
+    ap.add_argument("--strategy", default="wand",
+                    choices=["wand", "exhaustive", "local"])
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
 

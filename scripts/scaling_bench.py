@@ -22,11 +22,16 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import subprocess
 import sys
 import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+# sandbox knob: shuffle/spill on tmpfs (burst-throttled block device here);
+# the library session default stays on disk — see session.py
+os.environ.setdefault("SPARK_LOCAL_DIRS", "/dev/shm/spark-local")
 
 DEFAULT_DOCS = 1_000_000
 CHUNK = 125_000
@@ -133,7 +138,7 @@ def main() -> None:
         runs.append({"round": i + 1, "lo": lo, "hi": hi, "efficiency": round(eff, 3)})
         print(f"pair {i+1}/{repeats}: {lo['docs_per_sec']} -> "
               f"{hi['docs_per_sec']} docs/s, eff {eff:.3f}", file=sys.stderr)
-    med = sorted(pairs)[len(pairs) // 2]
+    med = round(statistics.median(pairs), 3)
     summary = {
         "metric": "index_build_scaling_efficiency",
         "value": med,

@@ -8,11 +8,13 @@ names, and an order-insensitive value hash. Usage:
 from __future__ import annotations
 
 import hashlib
+import os
 import sys
 
 import duckdb
 
 sys.path.insert(0, ".")
+os.environ.setdefault("SPARK_LOCAL_DIRS", "/dev/shm/spark-local")
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",

@@ -21,6 +21,13 @@ from dataclasses import dataclass, field
 TOKEN_SPLIT_RE = "[^a-z0-9]+"
 
 
+# the engine's encoders (classic tokenizer / surrogate expander) emit at
+# most this many distinct terms per input token (identity + 2 hash
+# expansions) — used to decide whether a top-k term cap can ever bind.
+# A real neural encoder would replace this bound with vocab_size.
+TERMS_PER_TOKEN_BOUND = 3
+
+
 @dataclass(frozen=True)
 class EngineConfig:
     # tokenization — reference max_input_length=256
@@ -29,6 +36,16 @@ class EngineConfig:
     top_k_terms: int = 4096
     # strict > min_weight filter — reference sparse_min_weight=0.0
     min_weight: float = 0.0
+    # term exclusion list — the classic-path analogue of the reference's
+    # special-token id masking (pad/cls/sep,
+    # /root/reference/src/indexing/sparse_index.py:61-63,556-558); terms
+    # here never enter the dictionary or postings, and queries mirror the
+    # exclusion from index metadata
+    exclude_terms: tuple = ()
+    # WAND routing: a query whose estimated candidate postings (Σ df over
+    # its terms) exceed this cap is scored by the fully-distributed
+    # exhaustive plan instead of a single-task WAND kernel
+    wand_postings_cap: int = 4_000_000
     # BM25 (classic path impact weights; pinned in index_meta)
     k1: float = 1.2
     b: float = 0.75

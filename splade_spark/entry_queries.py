@@ -381,6 +381,194 @@ def splade_topk_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Sparsified SPLADE path: binding per-doc top-k cap (W2/W4), query-side
+# sparsify mirrored from index metadata (W3), term exclusion (P2), and a
+# binding strict min_weight (P1) — the reference's full sparsify contract
+# (/root/reference/src/indexing/sparse_index.py:61-163,539-578 mirrored via
+# /root/reference/src/model/pl_module/retrieval.py:133-144).
+PRUNE_EXCLUDE = ("the", "a", "of", "and", "in", "is", "to")
+PRUNE_TOPK_TERMS = 8
+PRUNE_MIN_W = 0.05
+PRUNE_MAX_DOC = 400
+_PRUNE_EXCL_SQL = ", ".join(f"'{t}'" for t in PRUNE_EXCLUDE)
+
+_SPLADE_PRUNED_SQL = f"""
+WITH q(query_id, qtext) AS (VALUES {_QVALUES_SQL}),
+docsP AS (SELECT doc_id, text FROM documents WHERE doc_id < {PRUNE_MAX_DOC}),
+{expand_sql('docsP', 'doc_id', 'text')},
+{expand_sql('q', 'query_id', 'qtext')},
+pd AS (
+  -- doc-side sparsify: exclusion, strict > min_weight, per-doc top-k by
+  -- (weight desc, term asc) — the engine's window tie rule
+  SELECT doc_id, term, weight FROM (
+    SELECT doc_id, term, weight,
+           row_number() OVER (
+             PARTITION BY doc_id ORDER BY weight DESC, term ASC
+           ) AS rn
+    FROM exp_docsP
+    WHERE weight > {PRUNE_MIN_W} AND term NOT IN ({_PRUNE_EXCL_SQL})
+  ) WHERE rn <= {PRUNE_TOPK_TERMS}
+),
+pq AS (
+  -- query-side sparsify MIRRORS the index settings (W3)
+  SELECT doc_id AS query_id, term, weight FROM (
+    SELECT doc_id, term, weight,
+           row_number() OVER (
+             PARTITION BY doc_id ORDER BY weight DESC, term ASC
+           ) AS rn
+    FROM exp_q
+    WHERE weight > {PRUNE_MIN_W} AND term NOT IN ({_PRUNE_EXCL_SQL})
+  ) WHERE rn <= {PRUNE_TOPK_TERMS}
+),
+scored AS (
+  SELECT pq.query_id, pd.doc_id, sum(pq.weight * pd.weight) AS score
+  FROM pq JOIN pd ON pd.term = pq.term
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY round(score * 1000) DESC, CAST(doc_id AS VARCHAR) ASC
+         ) AS rank
+  FROM scored
+)
+SELECT query_id, CAST(rank AS INT) AS rank, CAST(doc_id AS BIGINT) AS doc_id
+FROM ranked WHERE rank <= {TOPK}
+"""
+
+
+@register("splade_topk_pruned", _SPLADE_PRUNED_SQL)
+def splade_topk_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fully-sparsified SPLADE retrieval: per-doc top-8 term cap (W2/W4
+    BINDS — expansion emits ~3 terms/token), strict min_weight 0.05 (P1
+    binds — the smallest expansion weight is ~0.031), term exclusion list
+    (P2), and the query vector pruned with the SAME settings mirrored from
+    index metadata (W3). Engine scores are float32 → milli-quantized
+    rank comparison (as splade_topk_engine)."""
+    from .config import EngineConfig
+    from .operators.indexing import build_index
+    from .operators.query import retrieve
+
+    cfg = EngineConfig(
+        top_k_terms=PRUNE_TOPK_TERMS,
+        min_weight=PRUNE_MIN_W,
+        exclude_terms=PRUNE_EXCLUDE,
+    )
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < PRUNE_MAX_DOC).select(
+        "doc_id", "text"
+    )
+    dw = expand_terms(docs)
+    idx = build_index(docs, id_col="doc_id", text_col="text",
+                      weighted_terms=dw, cfg=cfg)
+    qdf = spark.createDataFrame(BM25_QUERIES, "query_id string, text string")
+    qw = expand_terms(qdf, id_col="query_id", text_col="text").select(
+        F.col("doc_id").alias("query_id"), "term", "weight"
+    )
+    res = retrieve(idx, qdf, k=100, strategy="wand", cfg=cfg, query_weights=qw)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round(F.col("score").cast("double") * 1000)),
+        F.asc(F.col("doc_id").cast("string")),
+    )
+    return (
+        res.withColumn("qrank", F.row_number().over(w))
+        .filter(F.col("qrank") <= TOPK)
+        .select(
+            "query_id", F.col("qrank").cast("int").alias("rank"),
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+        )
+    )
+
+
+@register("bm25_topk_saved", _BM25_SQL_DUCK_RANKONLY)
+def bm25_topk_saved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index sink + scan round trip (S8/S9, reference
+    script/index.py:104-123 save and sparse_index.py:502-536 load): build
+    → save() parquet index tables + metadata JSON → load() a fresh handle
+    → block-max WAND retrieve from the LOADED index. Must be
+    rank-identical to the in-memory build — same DuckDB BM25 oracle."""
+    import tempfile
+
+    from .operators.indexing import InvertedIndex, build_index
+    from .operators.query import retrieve
+
+    out = tempfile.mkdtemp(prefix="splade_saved_")
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    build_index(docs, id_col="doc_id", text_col="text").save(out)
+    idx = InvertedIndex.load(spark, out)
+    queries = spark.createDataFrame(BM25_QUERIES, "query_id string, text string")
+    res = retrieve(idx, queries, k=TOPK, strategy="wand")
+    return res.select(
+        "query_id", F.col("rank").cast("int").alias("rank"),
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+    )
+
+
+_MOMENTS_SQL = f"""
+WITH docsM AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+{expand_sql('docsM', 'doc_id', 'text')},
+w AS (
+  -- f32 cast matches the engine's float weights exactly
+  SELECT doc_id, CAST(weight AS FLOAT) AS wf FROM exp_docsM
+),
+per_doc AS (SELECT doc_id, count(*) AS n FROM w GROUP BY doc_id),
+s AS (
+  SELECT count(*) AS n_entries,
+         sum(CAST(wf AS DOUBLE)) AS sw,
+         sum(CAST(wf AS DOUBLE) * CAST(wf AS DOUBLE)) AS sww,
+         min(wf) AS mn, max(wf) AS mx
+  FROM w
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM per_doc) AS n_docs,
+       CAST(s.n_entries AS BIGINT) AS n_entries,
+       CAST(round(s.sw / s.n_entries * 1000000) AS BIGINT) AS avg_weight_micro,
+       CAST(round(CAST(s.mn AS DOUBLE) * 1000000) AS BIGINT) AS min_weight_micro,
+       CAST(round(CAST(s.mx AS DOUBLE) * 1000000) AS BIGINT) AS max_weight_micro,
+       CAST(round(sqrt(s.sww / s.n_entries - (s.sw / s.n_entries) * (s.sw / s.n_entries))
+                  * 1000000) AS BIGINT) AS stddev_weight_micro,
+       CAST(round((SELECT avg(CAST(n AS DOUBLE)) FROM per_doc) * 1000) AS BIGINT)
+         AS avg_active_milli
+FROM s
+"""
+
+
+@register("expansion_moment_stats", _MOMENTS_SQL)
+def expansion_moment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running moment / activation statistics over the expansion weights
+    (A8/A11, reference script/experiment/logit_stats.py:18-109: streaming
+    count/sum/sumsq/min/max + active-terms-per-doc). Stddev via the
+    explicit sumsq formula on both sides so the algorithms match."""
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 200).select(
+        "doc_id", "text"
+    )
+    e = expand_terms(docs)  # weight is float32, as the engine indexes it
+    per_doc = e.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    wd = F.col("weight").cast("double")
+    s = e.agg(
+        F.count(F.lit(1)).alias("n_entries"),
+        F.sum(wd).alias("sw"),
+        F.sum(wd * wd).alias("sww"),
+        F.min("weight").alias("mn"),
+        F.max("weight").alias("mx"),
+    )
+    pd_agg = per_doc.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.avg(F.col("n").cast("double")).alias("avg_active"),
+    )
+    mean = F.col("sw") / F.col("n_entries")
+    return s.crossJoin(pd_agg).select(
+        "n_docs",
+        F.col("n_entries").cast("bigint").alias("n_entries"),
+        F.round(mean * 1e6).cast("bigint").alias("avg_weight_micro"),
+        F.round(F.col("mn").cast("double") * 1e6).cast("bigint").alias("min_weight_micro"),
+        F.round(F.col("mx").cast("double") * 1e6).cast("bigint").alias("max_weight_micro"),
+        F.round(
+            F.sqrt(F.col("sww") / F.col("n_entries") - mean * mean) * 1e6
+        ).cast("bigint").alias("stddev_weight_micro"),
+        F.round(F.col("avg_active") * 1000).cast("bigint").alias("avg_active_milli"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Dedup / fingerprint family
 # ---------------------------------------------------------------------------
@@ -592,6 +780,11 @@ def simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 JACCARD_MAX_DOC = 150
 JACCARD_MIN_MILLI = 100
+# frequency cap on the shared-shingle self-join: shingles appearing in
+# more than this many docs (stop-shingles) are dropped on BOTH sides
+# before pairing — at corpus scale an uncapped stop-shingle would join
+# O(df^2) pairs; similarity is defined over the rare-shingle subsets
+JACCARD_SHINGLE_DF_CAP = 50
 
 
 @register(
@@ -601,7 +794,12 @@ WITH sh AS (
   SELECT doc_id, unnest({_SHINGLES_DUCK}) AS s
   FROM documents WHERE doc_id < {JACCARD_MAX_DOC}
 ),
-ds AS (SELECT DISTINCT doc_id, s FROM sh),
+ds0 AS (SELECT DISTINCT doc_id, s FROM sh),
+sdf AS (SELECT s, count(*) AS df FROM ds0 GROUP BY s),
+ds AS (
+  SELECT ds0.doc_id, ds0.s FROM ds0
+  JOIN sdf ON sdf.s = ds0.s AND sdf.df <= {JACCARD_SHINGLE_DF_CAP}
+),
 sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
@@ -617,12 +815,19 @@ WHERE round(i * 1000.0 / (sa.n + sb.n - i)) >= {JACCARD_MIN_MILLI}
 """,
 )
 def jaccard_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard similarity over candidate pairs generated by a
+    """n-gram Jaccard similarity over candidate pairs generated by a
     shared-shingle equi-join (the verification stage of a MinHash
-    pipeline). At corpus scale the shingle join is frequency-capped; here
-    the corpus slice is small enough for the exact join."""
+    pipeline), FREQUENCY-CAPPED: shingles with df > cap are dropped
+    before the self-join (a stop-shingle would otherwise explode the join
+    at corpus scale), and similarity is defined over the rare-shingle
+    subsets — identically on both the Spark and oracle sides."""
     docs = _docs(spark, sf_dir).filter(F.col("doc_id") < JACCARD_MAX_DOC)
-    ds = docs.select("doc_id", F.explode(_shingles_col()).alias("s")).distinct().persist()
+    ds0 = docs.select("doc_id", F.explode(_shingles_col()).alias("s")).distinct()
+    sdf = ds0.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    ds = ds0.join(
+        sdf.filter(F.col("df") <= JACCARD_SHINGLE_DF_CAP).select("s"),
+        "s", "left_semi",
+    ).persist()
     sizes = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = ds.alias("a"), ds.alias("b")
     inter = (
@@ -1187,10 +1392,12 @@ labeled AS (
 ),
 sentinels AS (SELECT query_id, min(score) - 1.0 AS s FROM results GROUP BY query_id),
 missed AS (
-  -- qrels positives not retrieved, appended at min(score) - 1 (J5/F8)
-  SELECT qr.query_id, qr.doc_id, s.s AS score, qr.relevance AS rel
+  -- qrels positives not retrieved, appended at min(score) - 1 (J5/F8);
+  -- queries with positives but no results keep their rows at -1.0
+  -- (reference min_score = 0.0 default, retrieval.py:236-241)
+  SELECT qr.query_id, qr.doc_id, coalesce(s.s, -1.0) AS score, qr.relevance AS rel
   FROM qrels qr
-  JOIN sentinels s ON s.query_id = qr.query_id
+  LEFT JOIN sentinels s ON s.query_id = qr.query_id
   LEFT JOIN results r ON r.query_id = qr.query_id AND r.doc_id = qr.doc_id
   WHERE r.doc_id IS NULL AND qr.relevance > 0
 ),
@@ -1208,7 +1415,8 @@ perq AS (
          max(CASE WHEN rel > 0 THEN 1.0 ELSE 0.0 END) AS hit,
          sum(CASE WHEN rel > 0 THEN 1.0 ELSE 0.0 END) AS n_hits,
          max(CASE WHEN rel > 0 THEN 1.0 / rank ELSE 0.0 END) AS mrr,
-         sum((pow(2.0, rel) - 1.0) / log2(rank + 1.0)) AS dcg
+         -- LINEAR gain (torchmetrics RetrievalNormalizedDCG)
+         sum(rel / log2(rank + 1.0)) AS dcg
   FROM topk GROUP BY k, query_id
 ),
 ap AS (
@@ -1220,7 +1428,7 @@ ap AS (
   ) WHERE rel > 0 GROUP BY k, query_id
 ),
 idcg AS (
-  SELECT k, query_id, sum((pow(2.0, rel) - 1.0) / log2(irank + 1.0)) AS idcg FROM (
+  SELECT k, query_id, sum(rel / log2(irank + 1.0)) AS idcg FROM (
     SELECT ks.k, f.query_id, f.rel,
            row_number() OVER (PARTITION BY ks.k, f.query_id ORDER BY f.rel DESC) AS irank
     FROM full_set f CROSS JOIN ks WHERE f.rel > 0
@@ -1228,7 +1436,8 @@ idcg AS (
 ),
 perq2 AS (
   SELECT p.k, p.query_id, p.hit, p.mrr,
-         CASE WHEN n.n_pos > 0 THEN p.n_hits / least(n.n_pos, p.k) ELSE 0.0 END AS recall,
+         -- Recall@k = hits / TOTAL relevant (torchmetrics RetrievalRecall)
+         CASE WHEN n.n_pos > 0 THEN p.n_hits / n.n_pos ELSE 0.0 END AS recall,
          CASE WHEN n.n_pos > 0 THEN coalesce(a.ap_sum, 0.0) / least(n.n_pos, p.k)
               ELSE 0.0 END AS map_v,
          CASE WHEN i.idcg > 0 THEN p.dcg / i.idcg ELSE 0.0 END AS ndcg
@@ -1276,6 +1485,124 @@ def retrieval_metrics_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         "metric", F.col("k").cast("int").alias("k"),
         F.round(F.col("value") * 1e6).cast("bigint").alias("value_micro"),
+    )
+
+
+# Flexible-schema qrels ingestion (P3/P4 + the reference's column-name
+# tolerance, /root/reference/src/data/pd_module/retrieval.py:178-204).
+# Deterministic qrels rows are staged under THREE different column
+# spellings, normalized by operators.qrels.load_qrels, filtered both ways
+# (qrels→queries, queries→qrels), and aggregated per query.
+QFLEX_QUERIES = 8  # queries q01..q08 loaded; qrels exist for i 1..10 (P3 binds)
+
+_QFLEX_SQL = f"""
+WITH qi(query_id, i) AS (VALUES {", ".join(f"('q{i:02d}', {i})" for i in range(1, QFLEX_QUERIES + 1))}),
+qrels AS (
+  SELECT qi.query_id, d.doc_id, CAST(1 + (d.doc_id % 3) AS DOUBLE) AS relevance
+  FROM qi JOIN documents d
+    ON d.doc_id < {QREL_MAX_DOC} AND d.doc_id % {QREL_MOD} = (3 * qi.i) % {QREL_MOD}
+)
+SELECT query_id, CAST(count(*) AS BIGINT) AS n_pos,
+       CAST(sum(relevance) AS BIGINT) AS rel_sum
+FROM qrels GROUP BY query_id
+"""
+
+
+@register("qrels_flex_coverage", _QFLEX_SQL)
+def qrels_flex_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qrels loader with the reference's flexible schemas: the same
+    deterministic qrels arrive split across (query-id, corpus-id, score),
+    (qid, pid, rel) and (query_id, docid, relevance) shaped frames;
+    load_qrels normalizes each, P3 drops qrels of unloaded queries
+    (q09/q10), P4 drops queries without qrels (q98/q99)."""
+    from .operators.qrels import (
+        filter_qrels_to_queries,
+        filter_queries_with_qrels,
+        load_qrels,
+    )
+
+    base = _qrels_df(spark, sf_dir)  # rule rows for i in 1..10
+    variants = [
+        base.filter(F.col("doc_id") % 3 == 0).select(
+            F.col("query_id").alias("query-id"),
+            F.col("doc_id").alias("corpus-id"),
+            F.col("relevance").alias("score"),
+        ),
+        base.filter(F.col("doc_id") % 3 == 1).select(
+            F.col("query_id").alias("qid"),
+            F.col("doc_id").alias("pid"),
+            F.col("relevance").alias("rel"),
+        ),
+        base.filter(F.col("doc_id") % 3 == 2).select(
+            F.col("query_id").alias("query_id"),
+            F.col("doc_id").alias("docid"),
+            F.col("relevance").alias("relevance"),
+        ),
+    ]
+    loaded = load_qrels(variants[0])
+    for v in variants[1:]:
+        loaded = loaded.unionByName(load_qrels(v))
+    queries = spark.createDataFrame(
+        [(f"q{i:02d}",) for i in range(1, QFLEX_QUERIES + 1)]
+        + [("q98",), ("q99",)],  # no qrels → P4 drops them
+        "query_id string",
+    )
+    qr = filter_qrels_to_queries(loaded, queries)
+    qs = filter_queries_with_qrels(queries, qr)
+    return (
+        qr.join(qs, "query_id", "left_semi")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pos"),
+            F.sum("relevance").cast("bigint").alias("rel_sum"),
+        )
+    )
+
+
+NORM_MAX_VEC = 100
+
+_NORMALIZE_SQL = f"""
+WITH e AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id < {NORM_MAX_VEC}
+),
+n AS (
+  SELECT vec_id, embedding,
+         sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS nrm
+  FROM e
+)
+SELECT vec_id,
+       CAST(round(nrm * 1000000) AS BIGINT) AS norm_micro,
+       CAST(round(CASE WHEN nrm > 0
+            THEN sqrt(list_sum(list_transform(embedding,
+                 x -> (CAST(x AS DOUBLE) / nrm) * (CAST(x AS DOUBLE) / nrm))))
+            ELSE 0 END * 1000) AS BIGINT) AS unit_norm_milli,
+       CAST(round(CASE WHEN nrm > 0 THEN embedding[1] / nrm
+                  ELSE CAST(embedding[1] AS DOUBLE) END * 1000000) AS BIGINT)
+         AS first_comp_micro
+FROM n
+"""
+
+
+@register("embedding_normalize", _NORMALIZE_SQL)
+def embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 normalization of the embedding column (F4, the reference's
+    optional F.normalize(emb, p=2, dim=-1),
+    /root/reference/src/model/retriever/sparse/neural/splade.py:280-293) —
+    pure Catalyst transform/aggregate expressions; the unit-norm check
+    proves the normalized vector has ‖v‖ = 1."""
+    from .functions.vector import l2_norm, l2_normalize
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < NORM_MAX_VEC)
+    out = emb.select(
+        "vec_id",
+        l2_norm("embedding").alias("nrm"),
+        l2_normalize("embedding").alias("unit"),
+    )
+    return out.select(
+        "vec_id",
+        F.round(F.col("nrm") * 1e6).cast("bigint").alias("norm_micro"),
+        F.round(l2_norm("unit") * 1000).cast("bigint").alias("unit_norm_milli"),
+        F.round(F.element_at("unit", 1) * 1e6).cast("bigint").alias("first_comp_micro"),
     )
 
 

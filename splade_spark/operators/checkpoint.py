@@ -123,14 +123,19 @@ def encode_corpus_resumable(
     ).persist()
 
     # dynamic overwrite: only the partitions present in this write are
-    # replaced, committed buckets' files are untouched
+    # replaced, committed buckets' files are untouched (session conf is
+    # restored afterwards — callers may rely on the static default)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    tf.write.mode("overwrite").partitionBy("bucket").parquet(
-        os.path.join(out_dir, "shards", "tf")
-    )
-    dl.select("bucket", "doc_id", "dl").write.mode("overwrite").partitionBy(
-        "bucket"
-    ).parquet(os.path.join(out_dir, "shards", "dl"))
+    try:
+        tf.write.mode("overwrite").partitionBy("bucket").parquet(
+            os.path.join(out_dir, "shards", "tf")
+        )
+        dl.select("bucket", "doc_id", "dl").write.mode("overwrite").partitionBy(
+            "bucket"
+        ).parquet(os.path.join(out_dir, "shards", "dl"))
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
     # audit: per-bucket metrics from what was just computed
     audit = (

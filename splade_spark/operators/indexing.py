@@ -48,10 +48,12 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
-from ..config import DEFAULT, EngineConfig
+from pyspark import StorageLevel
+
+from ..config import DEFAULT, TERMS_PER_TOKEN_BOUND, EngineConfig
 from ..functions.codec import encode_block
 from ..functions.tokenize import tokens_col
-from .ids import assign_global_ids
+from .ids import _ROW_MASK, assign_global_ids
 
 POSTINGS_SCHEMA = (
     "term_id BIGINT, block_id INT, n_postings INT, min_doc BIGINT, "
@@ -133,6 +135,47 @@ def _corpus_stats(doc_len: DataFrame) -> tuple[int, float, int]:
     return int(row["n_docs"]), float(row["avgdl"]), int(row["total_tokens"])
 
 
+def _number_docs_with_stats(
+    toks: DataFrame, num_partitions: int
+) -> tuple[DataFrame, tuple[int, float, int]]:
+    """assign_global_ids(key=doc_id) with the corpus-stats aggregation
+    FUSED into the per-partition counts job (one blocking job instead of
+    two — counts, Σdl and doc totals come from the same scan of the
+    persisted ranged sort). Same terasort numbering contract as
+    ids.assign_global_ids: doc_idx = rank of doc_id ascending."""
+    spark = toks.sparkSession
+    ranged = toks.repartitionByRange(
+        num_partitions, F.col("doc_id")
+    ).sortWithinPartitions("doc_id").persist(StorageLevel.MEMORY_AND_DISK)
+    counts = (
+        ranged.select(F.spark_partition_id().alias("_pid"), "dl")
+        .groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("count"), F.sum("dl").alias("sum_dl"))
+        .collect()
+    )
+    n_docs = int(sum(r["count"] for r in counts))
+    if n_docs == 0:
+        raise ValueError("build_index: corpus is empty — nothing to index")
+    total_tokens = int(sum(r["sum_dl"] for r in counts))
+    avgdl = total_tokens / n_docs
+    offsets, acc = [], 0
+    for row in sorted(counts, key=lambda r: r["_pid"]):
+        offsets.append((row["_pid"], acc))
+        acc += row["count"]
+    offsets_df = spark.createDataFrame(offsets, "_pid INT, _offset LONG")
+    numbered = ranged.select(
+        "*",
+        F.spark_partition_id().alias("_pid"),
+        F.monotonically_increasing_id().bitwiseAND(F.lit(_ROW_MASK)).alias("_row"),
+    )
+    numbered = (
+        numbered.join(F.broadcast(offsets_df), "_pid")
+        .withColumn("doc_idx", (F.col("_offset") + F.col("_row")).cast("long"))
+        .drop("_pid", "_row", "_offset")
+    )
+    return numbered, (n_docs, avgdl, total_tokens)
+
+
 def _tf_from_tokens_arrow(numbered: DataFrame) -> DataFrame:
     """(doc_idx, dl, tokens) → (doc_idx, dl, term, tf) via Arrow-batched
     pandas — NO JVM explode, NO (doc, term) shuffle.
@@ -200,20 +243,17 @@ def build_index(
         tokens_col(text_col, cfg.max_tokens).alias("tokens"),
     ).withColumn("dl", F.size("tokens").cast("int"))
     # deterministic global doc numbering: ascending doc_id (SURVEY §4.3.5).
-    # assign_global_ids persists its ranged sort internally — required for
-    # id stability (re-executed column-pruned plans re-sample different
+    # _number_docs_with_stats persists its ranged sort internally — required
+    # for id stability (re-executed column-pruned plans re-sample different
     # range boundaries, observed as doc_idx collisions), and doubling as
-    # the single materialization both doc_dim and tf read. An alternative
-    # that numbers a narrow (doc_id)-only projection and equi-joins ids
-    # back into the tokenize stream measured 2.6x slower at local[32]
-    # (the join falls to sort-merge once the id dimension outgrows the
-    # broadcast threshold), so the wide-cache plan stands.
-    numbered = assign_global_ids(
-        toks, key="doc_id", id_col="doc_idx",
-        num_partitions=cfg.index_partitions,
-    )
+    # the single materialization both doc_dim and tf read; the corpus
+    # stats ride the same counts job. An alternative that numbers a narrow
+    # (doc_id)-only projection and equi-joins ids back into the tokenize
+    # stream measured 2.6x slower at local[32] (the join falls to
+    # sort-merge once the id dimension outgrows the broadcast threshold),
+    # so the wide-cache plan stands.
+    numbered, stats = _number_docs_with_stats(toks, cfg.index_partitions)
     doc_dim = numbered.select("doc_idx", "doc_id", "dl").persist()
-    stats = _corpus_stats(doc_dim)
     # tf backend: "jvm" (default) explodes tokens and partial-aggregates in
     # whole-stage codegen; "arrow" computes exact per-doc tf inside an
     # Arrow-batched pandas stage with no (doc, term) shuffle. Measured on
@@ -299,8 +339,16 @@ def _finish_classic(
     cfg: EngineConfig,
 ) -> InvertedIndex:
     """(doc_idx, dl, term, tf) → index. BM25 impact weight per (doc, term):
-    idf · tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)) — SURVEY §4.3.1."""
+    idf · tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)) — SURVEY §4.3.1.
+
+    Excluded terms (P2, the reference's special-token masking analogue,
+    sparse_index.py:61-63) are dropped BEFORE the dictionary pass: they
+    never get a term_id, a df count, or postings. dl still counts them —
+    exclusion masks the sparse vector, not the length normalization,
+    mirroring the reference where exclusion zeroes encoder outputs."""
     n_docs, avgdl, _ = stats
+    if cfg.exclude_terms:
+        tf_idx = tf_idx.filter(~F.col("term").isin(*cfg.exclude_terms))
     term_dict = _term_dict(tf_idx, n_docs, cfg)
     k1, b = float(cfg.k1), float(cfg.b)
     weighted = tf_idx.join(
@@ -321,8 +369,11 @@ def _finish_weighted(
     cfg: EngineConfig,
 ) -> InvertedIndex:
     """(doc_idx, term, weight) → index, weights carried from an external
-    encoder (e.g. the SPLADE-style expander)."""
+    encoder (e.g. the SPLADE-style expander). Excluded terms dropped
+    before the dictionary pass (see _finish_classic)."""
     n_docs = stats[0]
+    if cfg.exclude_terms:
+        wt_idx = wt_idx.filter(~F.col("term").isin(*cfg.exclude_terms))
     term_dict = _term_dict(wt_idx, n_docs, cfg)
     weighted = wt_idx.join(
         term_dict.select("term", "term_id", "df"), "term"
@@ -338,10 +389,14 @@ def _assemble(
     # strict > min_weight filter (sparse_index.py:65-68)
     weighted = weighted.filter(F.col("weight") > float(cfg.min_weight))
 
-    # per-doc top-k cap (sparse_index.py:128-158). With classic tokenize at
-    # max_tokens=256 a doc has ≤256 distinct terms so the 4096 cap never
-    # binds — skip the window shuffle entirely in that case.
-    if cfg.top_k_terms < cfg.max_tokens:
+    # per-doc top-k cap (sparse_index.py:128-158). Skip the window shuffle
+    # when the cap provably cannot bind: classic tokenize yields ≤max_tokens
+    # distinct terms per doc; the engine's expanders emit ≤TERMS_PER_TOKEN
+    # per token (a real neural encoder would use vocab_size as the bound).
+    cap_bound = cfg.max_tokens if weighting == "bm25" else (
+        TERMS_PER_TOKEN_BOUND * cfg.max_tokens
+    )
+    if cfg.top_k_terms < cap_bound:
         w = Window.partitionBy("doc_idx").orderBy(F.desc("weight"), F.asc("term_id"))
         weighted = (
             weighted.withColumn("_rn", F.row_number().over(w))
@@ -363,6 +418,7 @@ def _assemble(
         "max_tokens": cfg.max_tokens,
         "min_weight": cfg.min_weight,
         "top_k_terms": cfg.top_k_terms,
+        "exclude_terms": list(cfg.exclude_terms),
         "tokenizer": "lower_alnum_v1",
         "weighting": weighting,
         "index_partitions": cfg.index_partitions,

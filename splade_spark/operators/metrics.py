@@ -2,20 +2,30 @@
 
 Reproduces the reference's evaluation semantics
 (/root/reference/src/metric/retrieval.py:13,59-78 and
-/root/reference/src/model/pl_module/retrieval.py:222-258):
+/root/reference/src/model/pl_module/retrieval.py:222-258), which feed
+torchmetrics Retrieval* collections:
 
 - label join with 0 default for unjudged docs (J4)
 - **missed-positive sentinel**: qrels positives NOT retrieved are appended
   with score = min(retrieved score) − 1.0 so Recall/nDCG see them (J5/F8,
-  /root/reference/src/model/pl_module/retrieval.py:236-241)
-- metrics at k ∈ k_list: HitRate, MRR, MAP, Recall, nDCG
-  (cutoffs from /root/reference/config/testing/_base.yaml:19)
+  /root/reference/src/model/pl_module/retrieval.py:236-241). A query with
+  positives but ZERO results is kept — the reference sets min_score = 0.0
+  there and still appends its positives at −1.0 (retrieval.py:236-241);
+  only queries with no results AND no positives drop out
+  (retrieval.py:242-243).
+- metrics at k ∈ k_list (cutoffs /root/reference/config/testing/_base.yaml:19):
+  HitRate, MRR, MAP, Recall, nDCG with torchmetrics semantics —
+  Recall@k = hits-in-top-k / TOTAL relevant (RetrievalRecall),
+  MAP@k normalized by min(k, total relevant) (RetrievalMAP),
+  nDCG with LINEAR gain rel / log2(rank+1) (RetrievalNormalizedDCG).
 
 The reference's cross-rank all_gather (metric/retrieval.py:88-188) is
 unnecessary — a groupBy is already cluster-wide.
 """
 
 from __future__ import annotations
+
+import json
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -26,8 +36,9 @@ from ..config import DEFAULT, EngineConfig
 
 def label_results(results: DataFrame, qrels: DataFrame) -> DataFrame:
     """results (query_id, rank, doc_id, score) × qrels (query_id, doc_id,
-    relevance) → labeled rows incl. missed positives at min_score − 1,
-    re-ranked by (score desc, doc_id asc)."""
+    relevance) → labeled rows incl. missed positives at min_score − 1
+    (−1.0 for queries with no results, matching the reference's
+    min_score = 0.0 default), re-ranked by (score desc, doc_id asc)."""
     labeled = results.join(
         qrels, ["query_id", "doc_id"], "left"
     ).select(
@@ -40,8 +51,14 @@ def label_results(results: DataFrame, qrels: DataFrame) -> DataFrame:
     missed = (
         qrels.filter(F.col("relevance") > 0)
         .join(results.select("query_id", "doc_id"), ["query_id", "doc_id"], "left_anti")
-        .join(min_scores, "query_id")  # queries with no results drop out, as in ref
-        .select("query_id", "doc_id", F.col("_sentinel").alias("score"), "relevance")
+        # left join: queries with positives but no results keep their rows
+        # at the reference's 0.0 − 1.0 sentinel (retrieval.py:236-241)
+        .join(min_scores, "query_id", "left")
+        .select(
+            "query_id", "doc_id",
+            F.coalesce(F.col("_sentinel"), F.lit(-1.0)).alias("score"),
+            "relevance",
+        )
     )
     full = labeled.unionByName(missed)
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
@@ -69,10 +86,10 @@ def retrieval_metrics(
                 F.max(
                     F.when(F.col("relevance") > 0, 1.0 / F.col("rank")).otherwise(0.0)
                 ).alias("mrr"),
-                # DCG with gain 2^rel − 1
+                # DCG with LINEAR gain rel / log2(rank+1) — torchmetrics
+                # RetrievalNormalizedDCG semantics
                 F.sum(
-                    (F.pow(F.lit(2.0), F.col("relevance")) - 1.0)
-                    / F.log2(F.col("rank") + 1.0)
+                    F.col("relevance") / F.log2(F.col("rank") + 1.0)
                 ).alias("dcg"),
             )
         )
@@ -86,7 +103,7 @@ def retrieval_metrics(
             .groupBy("query_id")
             .agg(F.sum(F.col("cum_hits") / F.col("rank")).alias("ap_sum"))
         )
-        # ideal DCG: relevances sorted desc, top k
+        # ideal DCG: relevances sorted desc, top k (linear gain)
         wi = Window.partitionBy("query_id").orderBy(F.desc("relevance"))
         idcg = (
             ranked.filter(F.col("relevance") > 0)
@@ -95,8 +112,7 @@ def retrieval_metrics(
             .groupBy("query_id")
             .agg(
                 F.sum(
-                    (F.pow(F.lit(2.0), F.col("relevance")) - 1.0)
-                    / F.log2(F.col("irank") + 1.0)
+                    F.col("relevance") / F.log2(F.col("irank") + 1.0)
                 ).alias("idcg")
             )
         )
@@ -108,8 +124,13 @@ def retrieval_metrics(
                 "query_id",
                 F.col("hit"),
                 F.col("mrr"),
-                F.when(F.col("n_pos") > 0, F.col("n_hits") / F.least(F.col("n_pos"), F.lit(float(k))))
+                # Recall@k = hits / TOTAL relevant (torchmetrics
+                # RetrievalRecall — the sentinel rows put every positive
+                # in n_pos)
+                F.when(F.col("n_pos") > 0, F.col("n_hits") / F.col("n_pos"))
                 .otherwise(0.0).alias("recall"),
+                # MAP@k normalized by min(k, total relevant) — torchmetrics
+                # RetrievalMAP
                 F.when(
                     F.col("n_pos") > 0,
                     F.coalesce(F.col("ap_sum"), F.lit(0.0))
@@ -131,3 +152,17 @@ def retrieval_metrics(
         ).withColumn("k", F.lit(k))
         out = metr if out is None else out.unionByName(metr)
     return out.select("metric", "k", "value")
+
+
+def write_metrics_json(metrics: DataFrame, path: str) -> dict:
+    """S12 metrics JSON sink (reference script/evaluate.py:254-258 writes
+    the metrics dict as one JSON file from the driver): collect the tiny
+    (metric, k, value) result and dump ``{"<metric>@<k>": value}``.
+    Returns the dict."""
+    out = {
+        f"{r['metric']}@{r['k']}": float(r["value"])
+        for r in metrics.collect()
+    }
+    with open(path, "w") as f:
+        json.dump(out, f, indent=2, sort_keys=True)
+    return out

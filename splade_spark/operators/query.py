@@ -3,6 +3,13 @@
 Reference semantics reproduced:
 - bag-of-words query encoding (doc_only mode)
   (/root/reference/src/model/retriever/sparse/neural/splade.py:243-265)
+- query-side sparsify mirrored from INDEX metadata — exclusions, strict
+  min_weight, top-k terms — exactly as the reference mirrors the encode
+  settings stored with the index
+  (/root/reference/src/model/pl_module/retrieval.py:133-144,
+  /root/reference/src/indexing/sparse_index.py:539-578)
+- token exclusion (pad/cls/sep analogue: a term exclusion list,
+  /root/reference/src/indexing/sparse_index.py:61-63,556-558)
 - score accumulation `scores[doc] += q_w * d_w`
   (/root/reference/src/indexing/sparse_index.py:661-686) — here the J1
   broadcast join + A1 hash aggregate
@@ -11,17 +18,33 @@ Reference semantics reproduced:
 - OOV query terms contribute nothing (empty-postings path,
   /root/reference/src/indexing/sparse_index.py:705-714) — inner join drops them
 
-Two physical strategies over the same compressed index:
+Three physical strategies over the same compressed index:
 - ``score_exhaustive``: decode every candidate block (mapInPandas,
   vectorized) → JVM hash aggregate → window top-k. The correctness
-  baseline; also the fastest plan for small query batches.
+  baseline; fully distributed — the scale-safe plan for ANY query.
 - ``score_wand``: block-max pruned scoring (engine addition, north rule).
   Per query, blocks are processed in descending upper-bound order
   (ub = qtf · block max_weight); once the suffix upper-bound sum falls
   below the running kth score θ, unseen docs are provably out, and the
   remaining blocks are applied only to surviving candidates — blocks whose
   [min_doc, max_doc] range misses all candidates are skipped without
-  decoding. Exactness is asserted by tests (WAND ≡ exhaustive ≡ oracle).
+  decoding. The kernel is LINEAR: a sorted candidate accumulator is
+  merged with amortized doubling (never re-processing history), and θ is
+  refreshed at merge points (a stale-low θ only weakens pruning, never
+  correctness). Queries whose candidate postings exceed
+  ``cfg.wand_postings_cap`` (est. Σ df over query terms) are routed to
+  the exhaustive plan instead of landing a stopword-sized posting set in
+  one Python task — this is the 10^12-doc safety valve. Exactness is
+  asserted by tests (WAND ≡ exhaustive ≡ oracle).
+- ``local`` / :class:`LocalIndexServer`: warm in-process serving. The
+  reference's own serving shape — its query loop scores postings
+  in-process against a memory-mapped index
+  (/root/reference/src/indexing/sparse_index.py:502-536,661-755). The
+  server holds ONE index (or index shard) resident: term dictionary,
+  compressed blocks, doc-id map; each query runs the same WAND kernel
+  with ZERO Spark jobs → p50 in the low milliseconds. At web scale you
+  run one server per doc-range shard and merge per-shard top-k (scores
+  of a doc live entirely in its shard).
 """
 
 from __future__ import annotations
@@ -32,18 +55,26 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..config import DEFAULT, EngineConfig
+from ..config import DEFAULT, TERMS_PER_TOKEN_BOUND, EngineConfig
 from ..functions.codec import decode_block
-from ..functions.tokenize import tokens_col
+from ..functions.tokenize import tokenize_py, tokens_col
 from .indexing import InvertedIndex
+
+_Q_SCHEMA = "query_id string, term_id bigint, qtf float, df bigint"
+_RESULT_SCHEMA = "query_id string, rank int, doc_id string, score float"
 
 
 def encode_queries(
-    queries: DataFrame, term_dict: DataFrame, cfg: EngineConfig = DEFAULT
+    queries: DataFrame,
+    term_dict: DataFrame,
+    cfg: EngineConfig = DEFAULT,
+    meta: dict | None = None,
 ) -> DataFrame:
-    """(query_id, text) → (query_id, term_id, qtf float). Bag-of-words with
-    the index's own tokenizer; OOV terms dropped by the inner dictionary
-    join (the query side is tiny → broadcast)."""
+    """(query_id, text) → (query_id, term_id, qtf float, df). Bag-of-words
+    with the index's own tokenizer; OOV terms dropped by the inner
+    dictionary join (the query side is tiny → broadcast). ``meta`` applies
+    the index's exclusion list (P2) before the dictionary join; the
+    numeric sparsify (W3) happens in :func:`sparsify_query_terms`."""
     qt = (
         queries.select(
             F.col("query_id").cast("string").alias("query_id"),
@@ -52,9 +83,56 @@ def encode_queries(
         .groupBy("query_id", "term")
         .agg(F.count(F.lit(1)).cast("float").alias("qtf"))
     )
-    return term_dict.select("term", "term_id").join(F.broadcast(qt), "term").select(
-        "query_id", "term_id", "qtf"
+    exclude = tuple((meta or {}).get("exclude_terms", ()) or ())
+    if exclude:
+        qt = qt.filter(~F.col("term").isin(*exclude))
+    return term_dict.select("term", "term_id", "df").join(
+        F.broadcast(qt), "term"
+    ).select("query_id", "term_id", "qtf", "df")
+
+
+def encode_queries_weighted(
+    query_weights: DataFrame, term_dict: DataFrame, meta: dict | None = None
+) -> DataFrame:
+    """Pre-expanded query vectors (query_id, term, weight) — e.g. the
+    SPLADE-style expander applied to query text — mapped into term-id
+    space. The weight takes the place of qtf in the identical downstream
+    accumulation (the reference scores q_w·d_w the same way for neural and
+    bag-of-words queries, sparse_index.py:661-686)."""
+    qt = query_weights.select(
+        F.col("query_id").cast("string").alias("query_id"),
+        "term",
+        F.col("weight").cast("float").alias("qtf"),
     )
+    exclude = tuple((meta or {}).get("exclude_terms", ()) or ())
+    if exclude:
+        qt = qt.filter(~F.col("term").isin(*exclude))
+    return term_dict.select("term", "term_id", "df").join(
+        F.broadcast(qt), "term"
+    ).select("query_id", "term_id", "qtf", "df")
+
+
+def sparsify_query_terms(q_terms: DataFrame, meta: dict) -> DataFrame:
+    """W3: prune the query vector with the INDEX's own settings, mirrored
+    from metadata (reference retrieval.py:133-144 → sparse_index.py:539-578):
+    strict ``qtf > min_weight``, then keep the ``top_k_terms``
+    highest-weight terms per query (ties: weight desc, term_id asc)."""
+    mw = float(meta.get("min_weight", 0.0))
+    out = q_terms.filter(F.col("qtf") > mw)
+    qk = int(meta.get("top_k_terms", 1 << 30))
+    max_tokens = int(meta.get("max_tokens", DEFAULT.max_tokens))
+    # a cap at or above the encoder's terms-per-query bound can never
+    # bind — skip the window (the mirror of indexing._assemble's skip)
+    if qk < TERMS_PER_TOKEN_BOUND * max_tokens:
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("qtf"), F.asc("term_id")
+        )
+        out = (
+            out.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= qk)
+            .drop("_rn")
+        )
+    return out
 
 
 # above this many distinct query term_ids, skip the isin literal pushdown
@@ -63,7 +141,9 @@ def encode_queries(
 _ISIN_PUSHDOWN_CAP = 2048
 
 
-def _candidate_blocks(index: InvertedIndex, q_terms: DataFrame) -> DataFrame:
+def _candidate_blocks(
+    index: InvertedIndex, q_terms: DataFrame, rows: list | None = None
+) -> DataFrame:
     """Postings blocks of the query terms.
 
     The query side is tiny by contract (a query set, not a corpus), so it
@@ -74,12 +154,16 @@ def _candidate_blocks(index: InvertedIndex, q_terms: DataFrame) -> DataFrame:
     this is the difference between scanning the full postings table and
     touching only the query terms' blocks."""
     spark = index.postings.sparkSession
-    rows = q_terms.collect()
+    if rows is None:
+        rows = q_terms.collect()
     if not rows:
-        return spark.createDataFrame([], schema=q_terms.schema).join(
+        return spark.createDataFrame([], schema=_Q_SCHEMA).join(
             index.postings, "term_id"
         )
-    q_local = spark.createDataFrame(rows, schema=q_terms.schema)
+    q_local = spark.createDataFrame(
+        [(r["query_id"], r["term_id"], r["qtf"]) for r in rows],
+        schema="query_id string, term_id bigint, qtf float",
+    )
     terms = sorted({r["term_id"] for r in rows})
     base = index.postings
     if len(terms) <= _ISIN_PUSHDOWN_CAP:
@@ -88,10 +172,18 @@ def _candidate_blocks(index: InvertedIndex, q_terms: DataFrame) -> DataFrame:
 
 
 def score_exhaustive(
-    index: InvertedIndex, q_terms: DataFrame, k: int = 10
+    index: InvertedIndex, q_terms: DataFrame, k: int = 10,
+    rows: list | None = None,
 ) -> DataFrame:
     """Returns (query_id, rank, doc_id, score float)."""
-    cand = _candidate_blocks(index, q_terms).select(
+    scores = _exhaustive_scores(index, q_terms, rows)
+    return _topk(scores, index, k)
+
+
+def _exhaustive_scores(
+    index: InvertedIndex, q_terms: DataFrame, rows: list | None = None
+) -> DataFrame:
+    cand = _candidate_blocks(index, q_terms, rows).select(
         "query_id", "qtf", "doc_gaps", "weights"
     )
 
@@ -122,96 +214,179 @@ def score_exhaustive(
     partials = cand.mapInPandas(
         decode_partial, schema="query_id string, doc_idx bigint, partial float"
     )
-    scores = partials.groupBy("query_id", "doc_idx").agg(
+    return partials.groupBy("query_id", "doc_idx").agg(
         F.sum("partial").cast("float").alias("score")
     )
+
+
+def _wand_topk(
+    qtf: np.ndarray,
+    max_w: np.ndarray,
+    min_doc: np.ndarray,
+    max_doc: np.ndarray,
+    gaps: list,
+    wts: list,
+    k: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Shared block-max WAND kernel over one query's candidate blocks.
+
+    Returns (doc_idx int64, score float32) of the top-k, ranked by
+    (score desc, doc_idx asc). LINEAR in decoded postings: candidates are
+    kept as a sorted array + f64 accumulator, new blocks buffer into
+    pending chunks and merge only when the pending size reaches the
+    postings merged so far (amortized doubling → total merge work
+    ≤ 2 × postings). θ (the kth exact score so far) is refreshed at merge
+    points; between merges θ is stale-LOW, which only weakens pruning —
+    never correctness. f32 products accumulate in f64 (sums of ≤2^29
+    float32 values are exact in float64), so the result is independent of
+    block order and equals the exhaustive plan's double-sum aggregate.
+
+    Reference semantics preserved: accumulate + top-k of
+    /root/reference/src/indexing/sparse_index.py:661-748 with the
+    deterministic tie rule (SURVEY.md §4.3.2).
+    """
+    n_blocks = len(gaps)
+    qtf = np.asarray(qtf, dtype=np.float32)
+    ub = qtf * np.asarray(max_w, dtype=np.float32)
+    order = np.argsort(-ub, kind="stable")
+    # suffix[i] = sum of ub from block i on — bound on any doc's remaining gain
+    suffix = np.concatenate(
+        (np.cumsum(ub[order][::-1].astype(np.float64))[::-1], [0.0])
+    )
+
+    cand_docs = np.empty(0, dtype=np.int64)
+    acc = np.empty(0, dtype=np.float64)
+    pend_d: list[np.ndarray] = []
+    pend_s: list[np.ndarray] = []
+    pend_n = 0
+    merged_n = 0
+    theta = -np.inf
+    stop_at = n_blocks
+
+    def flush() -> None:
+        nonlocal cand_docs, acc, pend_d, pend_s, pend_n, merged_n, theta
+        if pend_n:
+            alld = np.concatenate([cand_docs] + pend_d)
+            alls = np.concatenate([acc] + pend_s)
+            cand_docs, inv = np.unique(alld, return_inverse=True)
+            acc = np.zeros(cand_docs.size, dtype=np.float64)
+            np.add.at(acc, inv, alls)
+            merged_n += pend_n
+            pend_d, pend_s, pend_n = [], [], 0
+        if acc.size >= k:
+            theta = np.partition(acc, acc.size - k)[acc.size - k]
+
+    for i in range(n_blocks):
+        if pend_n >= max(1024, merged_n):
+            flush()
+        # θ is exact over merged history (a lower bound of the true kth
+        # score once pending exists); any unseen doc is bounded by
+        # suffix[i] → once suffix[i] < θ the candidate set is closed
+        # (strict: an unseen doc tying θ could still win the doc_idx
+        # tie-break, so it must stay reachable)
+        if (merged_n or pend_n) and suffix[i] < theta:
+            stop_at = i
+            break
+        oi = order[i]
+        d, w = decode_block(gaps[oi], wts[oi])
+        if d.size:
+            pend_d.append(d)
+            pend_s.append((qtf[oi] * w).astype(np.float64))
+            pend_n += d.size
+    flush()
+
+    if cand_docs.size == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
+
+    # phase 2: apply skipped blocks only to surviving candidates; skip
+    # blocks whose doc range misses every candidate (no decode)
+    for i in range(stop_at, n_blocks):
+        oi = order[i]
+        lo = np.searchsorted(cand_docs, min_doc[oi], side="left")
+        hi = np.searchsorted(cand_docs, max_doc[oi], side="right")
+        if lo >= hi:
+            continue
+        d, w = decode_block(gaps[oi], wts[oi])
+        pos = np.searchsorted(cand_docs, d)
+        ok = (pos < cand_docs.size) & (
+            cand_docs[np.minimum(pos, cand_docs.size - 1)] == d
+        )
+        np.add.at(acc, pos[ok], (qtf[oi] * w[ok]).astype(np.float64))
+
+    # final scores are float32 (reference dtype); ties broken on the
+    # ROUNDED value so rank order matches the exhaustive plan exactly
+    scores32 = acc.astype(np.float32)
+    sel = np.lexsort((cand_docs, -scores32.astype(np.float64)))[:k]
+    return cand_docs[sel], scores32[sel]
+
+
+def score_wand(
+    index: InvertedIndex,
+    q_terms: DataFrame,
+    k: int = 10,
+    cfg: EngineConfig = DEFAULT,
+) -> DataFrame:
+    """Block-max pruned scoring; identical results to score_exhaustive.
+
+    Scale safety: a query whose estimated candidate postings (Σ df over
+    its terms) exceed ``cfg.wand_postings_cap`` would put a corpus-sized
+    posting set into one Python task — such queries are routed to the
+    fully-distributed exhaustive plan instead; light queries keep the
+    single-task WAND kernel (their postings are small by construction).
+    """
+    spark = index.postings.sparkSession
+    rows = q_terms.collect()
+    if not rows:
+        return spark.createDataFrame([], schema=_RESULT_SCHEMA)
+
+    has_df = "df" in q_terms.columns
+    per_q: dict[str, int] = {}
+    for r in rows:
+        est = int(r["df"] or 0) if has_df else 0
+        per_q[r["query_id"]] = per_q.get(r["query_id"], 0) + est
+    heavy = {q for q, n in per_q.items() if n > int(cfg.wand_postings_cap)}
+    light_rows = [r for r in rows if r["query_id"] not in heavy]
+    heavy_rows = [r for r in rows if r["query_id"] in heavy]
+
+    parts: list[DataFrame] = []
+    if light_rows:
+        parts.append(_wand_scores(index, q_terms, k, light_rows))
+    if heavy_rows:
+        parts.append(_exhaustive_scores(index, q_terms, heavy_rows))
+    scores = parts[0]
+    for p in parts[1:]:
+        scores = scores.unionByName(p)
     return _topk(scores, index, k)
 
 
-def score_wand(index: InvertedIndex, q_terms: DataFrame, k: int = 10) -> DataFrame:
-    """Block-max pruned scoring; identical results to score_exhaustive."""
-    cand = _candidate_blocks(index, q_terms).select(
+def _wand_scores(
+    index: InvertedIndex, q_terms: DataFrame, k: int, rows: list
+) -> DataFrame:
+    cand = _candidate_blocks(index, q_terms, rows).select(
         "query_id", "qtf", "min_doc", "max_doc", "max_weight",
-        "n_postings", "doc_gaps", "weights",
+        "doc_gaps", "weights",
     )
 
     def wand_one_query(pdf: pd.DataFrame) -> pd.DataFrame:
         qid = pdf["query_id"].iloc[0]
-        ub = (pdf["qtf"].to_numpy(np.float32) * pdf["max_weight"].to_numpy(np.float32))
-        order = np.argsort(-ub, kind="stable")
-        ub = ub[order]
-        pdf = pdf.iloc[order]
-        # suffix[i] = sum of ub[i:] — bound on any doc's remaining gain
-        suffix = np.concatenate((np.cumsum(ub[::-1].astype(np.float64))[::-1], [0.0]))
-
-        doc_chunks: list[np.ndarray] = []
-        score_chunks: list[np.ndarray] = []
-        gaps_arr = pdf["doc_gaps"].to_numpy()
-        wts_arr = pdf["weights"].to_numpy()
-        qtf_arr = pdf["qtf"].to_numpy(np.float32)
-        min_doc = pdf["min_doc"].to_numpy(np.int64)
-        max_doc = pdf["max_doc"].to_numpy(np.int64)
-        n_blocks = len(pdf)
-        theta = -np.inf
-        stop_at = n_blocks
-        for i in range(n_blocks):
-            # refresh θ = kth best exact-so-far; any unseen doc is bounded
-            # by suffix[i] → once suffix[i] < θ the candidate set is closed
-            # (strict: an unseen doc tying θ could still win the doc_idx
-            # tie-break, so it must stay reachable)
-            if doc_chunks and suffix[i] < theta:
-                stop_at = i
-                break
-            d, w = decode_block(gaps_arr[i], wts_arr[i])
-            doc_chunks.append(d)
-            # f32 product (reference weight math), accumulated in f64:
-            # sums of ≤2^29 float32 values are EXACT in float64, so the
-            # result is independent of block processing order — the same
-            # value the exhaustive path's double-sum aggregate produces
-            score_chunks.append((qtf_arr[i] * w).astype(np.float64))
-            alld = np.concatenate(doc_chunks)
-            alls = np.concatenate(score_chunks)
-            uniq, inv = np.unique(alld, return_inverse=True)
-            acc = np.zeros(uniq.size, dtype=np.float64)
-            np.add.at(acc, inv, alls)
-            if acc.size >= k:
-                theta = np.partition(acc, acc.size - k)[acc.size - k]
-            elif acc.size:
-                theta = -np.inf
-
-        if not doc_chunks:
-            return pd.DataFrame({"query_id": [], "doc_idx": [], "score": []}).astype(
-                {"query_id": str, "doc_idx": np.int64, "score": np.float32}
-            )
-        alld = np.concatenate(doc_chunks)
-        alls = np.concatenate(score_chunks)
-        cand_docs, inv = np.unique(alld, return_inverse=True)
-        acc = np.zeros(cand_docs.size, dtype=np.float64)
-        np.add.at(acc, inv, alls)
-        # phase 2: apply skipped blocks only to surviving candidates; skip
-        # blocks whose doc range misses every candidate (no decode)
-        for i in range(stop_at, n_blocks):
-            lo = np.searchsorted(cand_docs, min_doc[i], side="left")
-            hi = np.searchsorted(cand_docs, max_doc[i], side="right")
-            if lo >= hi:
-                continue
-            d, w = decode_block(gaps_arr[i], wts_arr[i])
-            pos = np.searchsorted(cand_docs, d)
-            ok = (pos < cand_docs.size) & (cand_docs[np.minimum(pos, cand_docs.size - 1)] == d)
-            np.add.at(acc, pos[ok], (qtf_arr[i] * w[ok]).astype(np.float64))
-        # final scores are float32 (reference dtype); ties broken on the
-        # ROUNDED value so rank order matches the exhaustive plan exactly
-        scores32 = acc.astype(np.float32)
-        sel = np.lexsort((cand_docs, -scores32.astype(np.float64)))[:k]
+        docs, scores = _wand_topk(
+            pdf["qtf"].to_numpy(np.float32),
+            pdf["max_weight"].to_numpy(np.float32),
+            pdf["min_doc"].to_numpy(np.int64),
+            pdf["max_doc"].to_numpy(np.int64),
+            pdf["doc_gaps"].tolist(),
+            pdf["weights"].tolist(),
+            k,
+        )
         return pd.DataFrame(
-            {"query_id": qid, "doc_idx": cand_docs[sel], "score": scores32[sel]}
+            {"query_id": np.repeat(qid, docs.size), "doc_idx": docs,
+             "score": scores}
         )
 
     schema = "query_id string, doc_idx bigint, score float"
-    scores = cand.groupBy("query_id").applyInPandas(
+    return cand.groupBy("query_id").applyInPandas(
         lambda pdf: wand_one_query(pdf), schema=schema
     )
-    return _topk(scores, index, k)
 
 
 def _topk(scores: DataFrame, index: InvertedIndex, k: int) -> DataFrame:
@@ -226,118 +401,120 @@ def _topk(scores: DataFrame, index: InvertedIndex, k: int) -> DataFrame:
     )
 
 
-def encode_queries_weighted(
-    query_weights: DataFrame, term_dict: DataFrame
-) -> DataFrame:
-    """Pre-expanded query vectors (query_id, term, weight) — e.g. the
-    SPLADE-style expander applied to query text — mapped into term-id
-    space. The weight takes the place of qtf in the identical downstream
-    accumulation (the reference scores q_w·d_w the same way for neural and
-    bag-of-words queries, sparse_index.py:661-686)."""
-    qt = query_weights.select(
-        F.col("query_id").cast("string").alias("query_id"),
-        "term",
-        F.col("weight").cast("float").alias("qtf"),
-    )
-    return term_dict.select("term", "term_id").join(F.broadcast(qt), "term").select(
-        "query_id", "term_id", "qtf"
-    )
+class LocalIndexServer:
+    """Warm in-process serving handle: the whole index (term dict,
+    compressed blocks, doc-id map) resident in this process, queries
+    answered by the shared WAND kernel with zero Spark jobs — the
+    reference's own serving shape (it memory-maps term_ptr/postings and
+    scores in-process, /root/reference/src/indexing/sparse_index.py:502-536,
+    661-755). One server holds ONE index shard; at web scale, shard by
+    doc range and merge per-shard top-k."""
+
+    def __init__(self, index: InvertedIndex):
+        self.meta = dict(index.meta)
+        self.term_info = {
+            r["term"]: (int(r["term_id"]))
+            for r in index.term_dict.select("term", "term_id").collect()
+        }
+        self.by_term: dict[int, list] = {}
+        for b in index.postings.select(
+            "term_id", "max_weight", "min_doc", "max_doc", "doc_gaps", "weights"
+        ).collect():
+            self.by_term.setdefault(int(b["term_id"]), []).append(
+                (
+                    float(b["max_weight"]), int(b["min_doc"]),
+                    int(b["max_doc"]), bytes(b["doc_gaps"]),
+                    bytes(b["weights"]),
+                )
+            )
+        dd = index.doc_dim.select("doc_idx", "doc_id").collect()
+        self.doc_ids: list[str | None] = [None] * len(dd)
+        for r in dd:
+            self.doc_ids[int(r["doc_idx"])] = r["doc_id"]
+        self.exclude = set(self.meta.get("exclude_terms", ()) or ())
+        self.min_weight = float(self.meta.get("min_weight", 0.0))
+        self.top_k_terms = int(self.meta.get("top_k_terms", 1 << 30))
+        self.max_tokens = int(self.meta.get("max_tokens", DEFAULT.max_tokens))
+
+    def search(self, text: str, k: int = 10) -> list[tuple[str, float]]:
+        """BM25/bag-of-words serving: tokenize → mirror-sparsified query
+        vector → WAND → [(doc_id, score f32)] ranked (desc, doc_idx asc)."""
+        qtf: dict[int, float] = {}
+        for t in tokenize_py(text, self.max_tokens):
+            tid = self.term_info.get(t)
+            if tid is not None and t not in self.exclude:
+                qtf[tid] = qtf.get(tid, 0.0) + 1.0
+        return self.search_ids(qtf, k)
+
+    def search_weighted(
+        self, term_weights: dict[str, float], k: int = 10
+    ) -> list[tuple[str, float]]:
+        """Serving over a pre-expanded query vector (term → weight)."""
+        pairs = {
+            self.term_info[t]: float(w)
+            for t, w in term_weights.items()
+            if t in self.term_info and t not in self.exclude
+        }
+        return self.search_ids(pairs, k)
+
+    def search_ids(
+        self, qtf_by_tid: dict[int, float], k: int = 10
+    ) -> list[tuple[str, float]]:
+        # W3 mirror: strict > min_weight, then top-k (qtf desc, term_id asc)
+        items = [
+            (tid, w) for tid, w in qtf_by_tid.items() if w > self.min_weight
+        ]
+        if len(items) > self.top_k_terms:
+            items.sort(key=lambda p: (-p[1], p[0]))
+            items = items[: self.top_k_terms]
+        qtfs, maxw, mind, maxd, gaps, wts = [], [], [], [], [], []
+        for tid, qw in sorted(items):
+            for mw_, lo, hi, g, wbytes in self.by_term.get(tid, ()):
+                qtfs.append(qw)
+                maxw.append(mw_)
+                mind.append(lo)
+                maxd.append(hi)
+                gaps.append(g)
+                wts.append(wbytes)
+        if not gaps:
+            return []
+        docs, scores = _wand_topk(
+            np.asarray(qtfs, dtype=np.float32),
+            np.asarray(maxw, dtype=np.float32),
+            np.asarray(mind, dtype=np.int64),
+            np.asarray(maxd, dtype=np.int64),
+            gaps, wts, k,
+        )
+        return [
+            (self.doc_ids[int(d)], float(s)) for d, s in zip(docs, scores)
+        ]
+
+
+def local_server(index: InvertedIndex) -> LocalIndexServer:
+    """Cached LocalIndexServer for an index handle (built on first use)."""
+    srv = index.__dict__.get("_local_server")
+    if srv is None:
+        srv = LocalIndexServer(index)
+        index.__dict__["_local_server"] = srv
+    return srv
 
 
 def score_local(index: InvertedIndex, q_terms: DataFrame, k: int = 10) -> DataFrame:
-    """Low-latency serving path: pull ONLY the query terms' compressed
-    blocks to the driver (the ``isin`` pushdown prunes parquet row groups /
-    cached batches before any decode — a handful of MB for a typical
-    query) and run the same block-max WAND kernel in-process. One Spark
-    job instead of a multi-stage DAG: single-query p50 drops from seconds
-    (job-scheduling bound) to tens of ms. Results are rank-identical to
-    score_wand/score_exhaustive (same decode, same f64 accumulation, same
-    tie rule); the distributed paths remain the throughput route for
-    query BATCHES. This is the reference's own serving shape — its query
-    loop scores postings in-process against a memory-mapped index
-    (/root/reference/src/indexing/sparse_index.py:661-755)."""
+    """Low-latency serving path as a DataFrame: run the warm
+    LocalIndexServer per query and lift results back into Spark (one
+    createDataFrame, no joins — doc ids decode from the server's resident
+    map). Rank-identical to score_wand/score_exhaustive (same kernel,
+    same f64 accumulation, same tie rule)."""
     spark = index.postings.sparkSession
-    q_rows = q_terms.collect()
-    if not q_rows:
-        return spark.createDataFrame(
-            [], schema="query_id string, rank int, doc_id string, score float"
-        )
-    terms = sorted({int(r["term_id"]) for r in q_rows})
-    blocks = (
-        index.postings.filter(F.col("term_id").isin(terms))
-        .select("term_id", "max_weight", "min_doc", "max_doc",
-                "doc_gaps", "weights")
-        .collect()
-    )
-    by_term: dict[int, list] = {}
-    for b in blocks:
-        by_term.setdefault(int(b["term_id"]), []).append(b)
-
+    srv = local_server(index)
+    by_query: dict[str, dict[int, float]] = {}
+    for r in q_terms.collect():
+        by_query.setdefault(r["query_id"], {})[int(r["term_id"])] = float(r["qtf"])
     out_rows: list[tuple] = []
-    by_query: dict[str, list] = {}
-    for r in q_rows:
-        by_query.setdefault(r["query_id"], []).append(r)
-    for qid, rows in by_query.items():
-        # flatten this query's candidate blocks with upper bounds
-        ub_list, blk_list, qtf_list = [], [], []
-        for r in rows:
-            for b in by_term.get(int(r["term_id"]), []):
-                ub_list.append(np.float32(r["qtf"]) * np.float32(b["max_weight"]))
-                blk_list.append(b)
-                qtf_list.append(np.float32(r["qtf"]))
-        if not blk_list:
-            continue
-        order = np.argsort(-np.asarray(ub_list, dtype=np.float32), kind="stable")
-        ub = np.asarray(ub_list, dtype=np.float64)[order]
-        suffix = np.concatenate((np.cumsum(ub[::-1])[::-1], [0.0]))
-        docs_acc: dict[int, float] = {}
-        theta = -np.inf
-        stop_at = len(order)
-        for i, oi in enumerate(order):
-            if docs_acc and suffix[i] < theta:
-                stop_at = i
-                break
-            b = blk_list[oi]
-            d, w = decode_block(b["doc_gaps"], b["weights"])
-            contrib = (qtf_list[oi] * w).astype(np.float64)
-            for dj, cj in zip(d.tolist(), contrib.tolist()):
-                docs_acc[dj] = docs_acc.get(dj, 0.0) + cj
-            if len(docs_acc) >= k:
-                theta = np.partition(
-                    np.fromiter(docs_acc.values(), dtype=np.float64), len(docs_acc) - k
-                )[len(docs_acc) - k]
-        cand_docs = np.fromiter(docs_acc.keys(), dtype=np.int64)
-        acc = np.fromiter(docs_acc.values(), dtype=np.float64)
-        sort_c = np.argsort(cand_docs)
-        cand_docs, acc = cand_docs[sort_c], acc[sort_c]
-        for i in range(stop_at, len(order)):
-            oi = order[i]
-            b = blk_list[oi]
-            lo = np.searchsorted(cand_docs, int(b["min_doc"]), side="left")
-            hi = np.searchsorted(cand_docs, int(b["max_doc"]), side="right")
-            if lo >= hi:
-                continue
-            d, w = decode_block(b["doc_gaps"], b["weights"])
-            pos = np.searchsorted(cand_docs, d)
-            ok = (pos < cand_docs.size) & (
-                cand_docs[np.minimum(pos, cand_docs.size - 1)] == d
-            )
-            np.add.at(acc, pos[ok], (qtf_list[oi] * w[ok]).astype(np.float64))
-        scores32 = acc.astype(np.float32)
-        sel = np.lexsort((cand_docs, -scores32.astype(np.float64)))[:k]
-        for rank, j in enumerate(sel, start=1):
-            out_rows.append((qid, rank, int(cand_docs[j]), float(scores32[j])))
-
-    res = spark.createDataFrame(
-        out_rows, schema="query_id string, rank int, doc_idx bigint, score float"
-    )
-    # decode doc ids: broadcast the tiny result into a scan of the (cached)
-    # doc dimension — one job, no shuffle of doc_dim
-    return (
-        index.doc_dim.select("doc_idx", "doc_id")
-        .join(F.broadcast(res), "doc_idx")
-        .select("query_id", "rank", "doc_id", "score")
-    )
+    for qid, pairs in by_query.items():
+        for rank, (doc_id, score) in enumerate(srv.search_ids(pairs, k), 1):
+            out_rows.append((qid, rank, doc_id, score))
+    return spark.createDataFrame(out_rows, schema=_RESULT_SCHEMA)
 
 
 def retrieve(
@@ -348,12 +525,14 @@ def retrieve(
     cfg: EngineConfig = DEFAULT,
     query_weights: DataFrame | None = None,
 ) -> DataFrame:
+    meta = index.meta
     if query_weights is not None:
-        q_terms = encode_queries_weighted(query_weights, index.term_dict)
+        q_terms = encode_queries_weighted(query_weights, index.term_dict, meta)
     else:
-        q_terms = encode_queries(queries, index.term_dict, cfg)
+        q_terms = encode_queries(queries, index.term_dict, cfg, meta)
+    q_terms = sparsify_query_terms(q_terms, meta)
     if strategy == "wand":
-        return score_wand(index, q_terms, k)
+        return score_wand(index, q_terms, k, cfg)
     if strategy == "local":
         return score_local(index, q_terms, k)
     return score_exhaustive(index, q_terms, k)

@@ -51,10 +51,21 @@ def bm25_weight(tf: int, dl: int, avgdl: float, n_docs: int, df: int,
     return idf * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
 
 
+def _doc_cap_py(entries: list[tuple[int, float]], cap: int) -> list[tuple[int, float]]:
+    """Per-doc top-k term cap (W2/W4, sparse_index.py:76-158): keep the
+    ``cap`` highest-weight (term_id, w32) entries, ties broken by
+    ascending term_id — the engine's window tie rule."""
+    if len(entries) <= cap:
+        return entries
+    return sorted(entries, key=lambda p: (-p[1], p[0]))[:cap]
+
+
 def build_oracle_index(docs: list[tuple[str, str]],
                        cfg: EngineConfig = DEFAULT) -> OracleIndex:
     """docs: list of (doc_id, text). Doc numbering = ascending doc_id order
-    (the engine's deterministic global numbering rule, SURVEY.md §4.3.5)."""
+    (the engine's deterministic global numbering rule, SURVEY.md §4.3.5).
+    Mirrors the engine's exclusion (P2: excluded terms never reach the
+    vocab/df/postings; dl still counts them) and per-doc top-k cap."""
     docs = sorted(docs, key=lambda x: x[0])
     doc_ids = [d for d, _ in docs]
     tokenized = [tokenize_py(t, cfg.max_tokens) for _, t in docs]
@@ -63,7 +74,10 @@ def build_oracle_index(docs: list[tuple[str, str]],
     avgdl = float(dl.mean()) if len(dl) else 0.0
     n_docs = len(docs)
 
-    terms = sorted({t for toks in tokenized for t in toks})
+    exclude = set(cfg.exclude_terms)
+    terms = sorted(
+        {t for toks in tokenized for t in toks if t not in exclude}
+    )
     vocab = {t: i for i, t in enumerate(terms)}
 
     # tf per (doc, term)
@@ -71,6 +85,8 @@ def build_oracle_index(docs: list[tuple[str, str]],
     for toks in tokenized:
         m: dict[int, int] = {}
         for t in toks:
+            if t in exclude:
+                continue
             tid = vocab[t]
             m[tid] = m.get(tid, 0) + 1
         tf_map.append(m)
@@ -82,12 +98,15 @@ def build_oracle_index(docs: list[tuple[str, str]],
 
     postings: dict[int, list[tuple[int, float]]] = {i: [] for i in range(len(terms))}
     for didx, m in enumerate(tf_map):
+        doc_entries: list[tuple[int, float]] = []
         for tid, tf in m.items():
             w = bm25_weight(tf, int(dl[didx]), avgdl, n_docs, int(df[tid]),
                             cfg.k1, cfg.b)
             w32 = np.float32(w)
             if w32 > cfg.min_weight:  # strict > filter, sparse_index.py:65-68
-                postings[tid].append((didx, float(w32)))
+                doc_entries.append((tid, float(w32)))
+        for tid, w in _doc_cap_py(doc_entries, cfg.top_k_terms):
+            postings[tid].append((didx, w))
 
     packed = {}
     for tid, plist in postings.items():
@@ -108,19 +127,28 @@ def build_oracle_index_weighted(
 ) -> OracleIndex:
     """Oracle index over externally-weighted sparse vectors (the SPLADE
     expansion path): doc numbering = ascending doc_id, vocab = sorted
-    terms, float32 weights, strict > min_weight filter."""
+    terms, float32 weights, strict > min_weight filter, exclusion and
+    per-doc top-k cap mirroring the engine."""
+    exclude = set(cfg.exclude_terms)
     doc_ids = sorted(doc_vectors)
-    terms = sorted({t for v in doc_vectors.values() for t in v})
+    terms = sorted(
+        {t for v in doc_vectors.values() for t in v if t not in exclude}
+    )
     vocab = {t: i for i, t in enumerate(terms)}
     df = np.zeros(len(terms), dtype=np.int64)
     postings: dict[int, list[tuple[int, float]]] = {i: [] for i in range(len(terms))}
     for didx, did in enumerate(doc_ids):
+        doc_entries: list[tuple[int, float]] = []
         for t, w in doc_vectors[did].items():
+            if t in exclude:
+                continue
             tid = vocab[t]
             df[tid] += 1
             w32 = np.float32(w)
             if w32 > cfg.min_weight:
-                postings[tid].append((didx, float(w32)))
+                doc_entries.append((tid, float(w32)))
+        for tid, w in _doc_cap_py(doc_entries, cfg.top_k_terms):
+            postings[tid].append((didx, w))
     packed = {}
     for tid, plist in postings.items():
         if not plist:
@@ -135,16 +163,32 @@ def build_oracle_index_weighted(
                        n_docs=len(doc_ids), postings=packed, cfg=cfg)
 
 
+def sparsify_query_oracle(
+    q: dict[int, float], cfg: EngineConfig
+) -> dict[int, float]:
+    """W3 mirror (reference sparse_index.py:539-578 via retrieval.py:133-144):
+    strict > min_weight, then keep the top_k_terms highest weights, ties
+    broken by ascending term_id — the engine's query sparsify rule."""
+    items = [(tid, w) for tid, w in q.items() if w > cfg.min_weight]
+    if len(items) > cfg.top_k_terms:
+        items.sort(key=lambda p: (-p[1], p[0]))
+        items = items[: cfg.top_k_terms]
+    return dict(items)
+
+
 def score_weighted_query_oracle(
     q_vec: dict[str, float], idx: OracleIndex, k: int = 10
 ) -> list[tuple[str, float]]:
     """Like score_query_oracle but with an externally-weighted query vector
-    (term -> weight). OOV terms dropped."""
+    (term -> weight). OOV and excluded terms dropped; index sparsify
+    settings mirrored onto the query."""
+    exclude = set(idx.cfg.exclude_terms)
     q = {
         idx.vocab[t]: float(np.float32(w))
         for t, w in q_vec.items()
-        if t in idx.vocab
+        if t in idx.vocab and t not in exclude
     }
+    q = sparsify_query_oracle(q, idx.cfg)
     scores = np.zeros(idx.n_docs, dtype=np.float32)
     touched = np.zeros(idx.n_docs, dtype=bool)
     for tid in sorted(q):
@@ -162,13 +206,15 @@ def score_weighted_query_oracle(
 
 def encode_query_oracle(text: str, idx: OracleIndex) -> dict[int, float]:
     """Bag-of-words query: term -> qtf (float32). OOV terms dropped
-    (empty-postings path, sparse_index.py:705-714)."""
+    (empty-postings path, sparse_index.py:705-714); exclusion + sparsify
+    mirrored from the index settings (P2/W3)."""
+    exclude = set(idx.cfg.exclude_terms)
     q: dict[int, float] = {}
     for t in tokenize_py(text, idx.cfg.max_tokens):
         tid = idx.vocab.get(t)
-        if tid is not None:
+        if tid is not None and t not in exclude:
             q[tid] = q.get(tid, 0.0) + 1.0
-    return q
+    return sparsify_query_oracle(q, idx.cfg)
 
 
 def score_query_oracle(text: str, idx: OracleIndex, k: int = 10

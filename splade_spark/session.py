@@ -41,13 +41,16 @@ def get_spark(
         # under G1, and scales ~0.85-efficient under ParallelGC). A real
         # cluster sets this per-executor via spark.executor.extraJavaOptions.
         .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
-        # Shuffle/spill on tmpfs: this sandbox's block device is
-        # burst-throttled (shuffle-heavy jobs swing >2x run-to-run while
-        # CPU-bound work is steady), and the host has RAM to spare. A real
-        # cluster points this at local NVMe per executor.
-        .config("spark.local.dir",
-                os.environ.get("SPARK_LOCAL_DIRS", "/dev/shm/spark-local"))
     )
+    # Shuffle/spill on tmpfs is OPT-IN (env-gated): this sandbox's block
+    # device is burst-throttled and has RAM to spare, so the bench/test
+    # entrypoints set SPARK_LOCAL_DIRS=/dev/shm/... — but the library
+    # default stays Spark's disk default. Spilling to tmpfs on a real
+    # host defeats the purpose of spilling (a large spill would OOM-kill
+    # the executor instead of hitting disk); real clusters point
+    # spark.local.dir at local NVMe per executor.
+    if os.environ.get("SPARK_LOCAL_DIRS"):
+        builder = builder.config("spark.local.dir", os.environ["SPARK_LOCAL_DIRS"])
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -7,10 +7,16 @@ its closest construct is the async shard writer
 producer/consumer draining encode batches to shards off the hot path.
 Structured Streaming generalizes that: each micro-batch of newly-arrived
 pages is tokenized with the SAME JVM tokenizer as the batch build and
-appended as a tf/dl shard keyed by batch id; ``build_index_from_batches``
+written as a tf/dl shard keyed by batch id; ``build_index_from_batches``
 then folds all arrived shards into a full index (the batch engine's
-stage-2). Checkpointing gives exactly-once shard commits — the streaming
-twin of checkpoint.py's write-audit-commit log.
+stage-2).
+
+Exactly-once shard commits: each micro-batch writes into its OWN
+``batch_id=<n>`` partition with dynamic-partition OVERWRITE, so a batch
+that fails mid-write (or after writing but before the streaming
+checkpoint commits) is simply re-run and its partition replaced — a retry
+can never duplicate rows. This is the same write-audit pattern
+checkpoint.py uses for resumable-build buckets.
 
 Also provides a watermarked event-time aggregation over the page stream
 (docs/tokens per window) for live build telemetry.
@@ -43,6 +49,46 @@ def stream_corpus(
     return rs.parquet(input_dir)
 
 
+def write_tf_dl_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    out_dir: str,
+    id_col: str = "url",
+    text_col: str = "text",
+    cfg: EngineConfig = DEFAULT,
+) -> None:
+    """Idempotently commit one micro-batch's tf/dl shard: every row lands
+    in the ``batch_id=<n>`` partition, written with dynamic-partition
+    overwrite — re-running the same batch (streaming retry after a crash
+    between the two table writes, or after write but before checkpoint
+    commit) replaces the partition instead of appending duplicates."""
+    spark = batch_df.sparkSession
+    toks = batch_df.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        tokens_col(text_col, cfg.max_tokens).alias("tokens"),
+    ).persist()
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            toks.select("doc_id", F.explode("tokens").alias("term"))
+            .groupBy("doc_id", "term")
+            .agg(F.count(F.lit(1)).cast("int").alias("tf"))
+            .withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite").partitionBy("batch_id")
+            .parquet(os.path.join(out_dir, "tf"))
+        )
+        (
+            toks.select("doc_id", F.size("tokens").cast("int").alias("dl"))
+            .withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite").partitionBy("batch_id")
+            .parquet(os.path.join(out_dir, "dl"))
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        toks.unpersist()
+
+
 def start_shard_stream(
     pages: DataFrame,
     out_dir: str,
@@ -54,27 +100,13 @@ def start_shard_stream(
 ):
     """pages stream → per-micro-batch tf/dl shards under ``out_dir``.
 
-    foreachBatch + append-by-batch_id: the streaming checkpoint guarantees
-    each batch is committed exactly once even across restarts."""
+    foreachBatch + per-batch dynamic partition overwrite
+    (write_tf_dl_batch): the streaming checkpoint tracks which batches
+    are done, and a replayed batch overwrites its own partition — shard
+    commits are exactly-once under retries."""
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        toks = batch_df.select(
-            F.col(id_col).cast("string").alias("doc_id"),
-            tokens_col(text_col, cfg.max_tokens).alias("tokens"),
-        ).persist()
-        (
-            toks.select("doc_id", F.explode("tokens").alias("term"))
-            .groupBy("doc_id", "term")
-            .agg(F.count(F.lit(1)).cast("int").alias("tf"))
-            .withColumn("batch_id", F.lit(batch_id))
-            .write.mode("append").parquet(os.path.join(out_dir, "tf"))
-        )
-        (
-            toks.select("doc_id", F.size("tokens").cast("int").alias("dl"))
-            .withColumn("batch_id", F.lit(batch_id))
-            .write.mode("append").parquet(os.path.join(out_dir, "dl"))
-        )
-        toks.unpersist()
+        write_tf_dl_batch(batch_df, batch_id, out_dir, id_col, text_col, cfg)
 
     writer = (
         pages.writeStream.foreachBatch(write_batch)

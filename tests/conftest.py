@@ -1,4 +1,10 @@
+import os
+
 import pytest
+
+# sandbox knob: shuffle/spill on tmpfs (burst-throttled block device here);
+# the library session default stays on disk — see session.py
+os.environ.setdefault("SPARK_LOCAL_DIRS", "/dev/shm/spark-local")
 
 from splade_spark.session import get_spark
 

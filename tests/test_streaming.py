@@ -77,6 +77,42 @@ def test_streamed_shards_equal_batch_index(spark, staged, tmp_path_factory):
     idx_batch.unpersist()
 
 
+def test_batch_retry_is_idempotent(spark, staged, tmp_path_factory):
+    """Exactly-once under retries: re-running a micro-batch (crash between
+    the tf and dl writes, or after write but before checkpoint commit)
+    must not duplicate any shard rows — the batch_id partition is
+    overwritten, not appended."""
+    from splade_spark.streaming.stream_index import write_tf_dl_batch
+
+    _, pages = staged
+    out = str(tmp_path_factory.mktemp("retry_out"))
+    batch = spark.createDataFrame(pages[["url", "text"]][:40])
+    write_tf_dl_batch(batch, 0, out, cfg=CFG)
+    tf_once = sorted(
+        (r["doc_id"], r["term"], r["tf"])
+        for r in spark.read.parquet(os.path.join(out, "tf")).collect()
+    )
+    dl_once = spark.read.parquet(os.path.join(out, "dl")).count()
+    # simulated retry of the SAME batch id
+    write_tf_dl_batch(batch, 0, out, cfg=CFG)
+    tf_twice = sorted(
+        (r["doc_id"], r["term"], r["tf"])
+        for r in spark.read.parquet(os.path.join(out, "tf")).collect()
+    )
+    assert tf_twice == tf_once
+    assert spark.read.parquet(os.path.join(out, "dl")).count() == dl_once
+    # a different batch id appends its own partition, untouched by retries
+    batch2 = spark.createDataFrame(pages[["url", "text"]][40:80])
+    write_tf_dl_batch(batch2, 1, out, cfg=CFG)
+    write_tf_dl_batch(batch, 0, out, cfg=CFG)  # retry batch 0 again
+    by_batch = {
+        r["batch_id"]: r["n"]
+        for r in spark.read.parquet(os.path.join(out, "dl"))
+        .groupBy("batch_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert by_batch[0] == 40 and by_batch[1] == 40
+
+
 def test_windowed_ingest_stats(spark, staged, tmp_path_factory):
     src, pages = staged
     out = str(tmp_path_factory.mktemp("stats_out"))
