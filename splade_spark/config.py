@@ -56,8 +56,12 @@ class EngineConfig:
     top_k: int = 10
     # metric cutoffs — reference testing.k_list
     k_list: tuple = (1, 5, 10, 50, 100)
-    # build parallelism hints
+    # build parallelism hints: index_partitions is the CLUSTER-side cap
+    # (sized to ~total executor cores); build_index downsizes to
+    # ceil(n_docs / docs_per_partition) for small corpora so tiny builds
+    # don't pay 32 tasks of scheduling overhead per stage
     index_partitions: int = 32
+    docs_per_partition: int = 3000
 
 
 DEFAULT = EngineConfig()

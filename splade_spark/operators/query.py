@@ -140,6 +140,23 @@ def sparsify_query_terms(q_terms: DataFrame, meta: dict) -> DataFrame:
 # broadcast join alone
 _ISIN_PUSHDOWN_CAP = 2048
 
+# the query side is a QUERY SET, not a corpus — the driver collects it
+# once to drive the isin pushdown and WAND routing. This guard enforces
+# that contract instead of assuming it: a corpus-sized "query set" must
+# go through the index-build path, not retrieve().
+_MAX_QUERY_TERM_ROWS = 1_000_000
+
+
+def _collect_q_terms(q_terms: DataFrame) -> list:
+    rows = q_terms.limit(_MAX_QUERY_TERM_ROWS + 1).collect()
+    if len(rows) > _MAX_QUERY_TERM_ROWS:
+        raise ValueError(
+            f"retrieve(): query set exceeds {_MAX_QUERY_TERM_ROWS} "
+            "(query, term) rows — this is corpus-sized input; batch it or "
+            "use the index-build path instead of the query path"
+        )
+    return rows
+
 
 def _candidate_blocks(
     index: InvertedIndex, q_terms: DataFrame, rows: list | None = None
@@ -155,7 +172,7 @@ def _candidate_blocks(
     touching only the query terms' blocks."""
     spark = index.postings.sparkSession
     if rows is None:
-        rows = q_terms.collect()
+        rows = _collect_q_terms(q_terms)
     if not rows:
         return spark.createDataFrame([], schema=_Q_SCHEMA).join(
             index.postings, "term_id"
@@ -335,7 +352,7 @@ def score_wand(
     single-task WAND kernel (their postings are small by construction).
     """
     spark = index.postings.sparkSession
-    rows = q_terms.collect()
+    rows = _collect_q_terms(q_terms)
     if not rows:
         return spark.createDataFrame([], schema=_RESULT_SCHEMA)
 
@@ -412,25 +429,31 @@ class LocalIndexServer:
 
     def __init__(self, index: InvertedIndex):
         self.meta = dict(index.meta)
-        self.term_info = {
-            r["term"]: (int(r["term_id"]))
-            for r in index.term_dict.select("term", "term_id").collect()
-        }
-        self.by_term: dict[int, list] = {}
-        for b in index.postings.select(
+        # Arrow-batched transfers (toPandas) — a row-at-a-time collect() of
+        # the block table measured ~10x slower for the same bytes
+        td = index.term_dict.select("term", "term_id").toPandas()
+        self.term_info = dict(
+            zip(td["term"].tolist(), td["term_id"].astype(int).tolist())
+        )
+        bp = index.postings.select(
             "term_id", "max_weight", "min_doc", "max_doc", "doc_gaps", "weights"
-        ).collect():
-            self.by_term.setdefault(int(b["term_id"]), []).append(
-                (
-                    float(b["max_weight"]), int(b["min_doc"]),
-                    int(b["max_doc"]), bytes(b["doc_gaps"]),
-                    bytes(b["weights"]),
-                )
+        ).toPandas()
+        self.by_term: dict[int, list] = {}
+        for tid, mw_, lo, hi, g, wbytes in zip(
+            bp["term_id"].astype(int).tolist(),
+            bp["max_weight"].astype(float).tolist(),
+            bp["min_doc"].astype(int).tolist(),
+            bp["max_doc"].astype(int).tolist(),
+            bp["doc_gaps"].tolist(),
+            bp["weights"].tolist(),
+        ):
+            self.by_term.setdefault(tid, []).append(
+                (mw_, lo, hi, bytes(g), bytes(wbytes))
             )
-        dd = index.doc_dim.select("doc_idx", "doc_id").collect()
+        dd = index.doc_dim.select("doc_idx", "doc_id").toPandas()
         self.doc_ids: list[str | None] = [None] * len(dd)
-        for r in dd:
-            self.doc_ids[int(r["doc_idx"])] = r["doc_id"]
+        for i, d in zip(dd["doc_idx"].astype(int).tolist(), dd["doc_id"].tolist()):
+            self.doc_ids[i] = d
         self.exclude = set(self.meta.get("exclude_terms", ()) or ())
         self.min_weight = float(self.meta.get("min_weight", 0.0))
         self.top_k_terms = int(self.meta.get("top_k_terms", 1 << 30))
@@ -508,7 +531,7 @@ def score_local(index: InvertedIndex, q_terms: DataFrame, k: int = 10) -> DataFr
     spark = index.postings.sparkSession
     srv = local_server(index)
     by_query: dict[str, dict[int, float]] = {}
-    for r in q_terms.collect():
+    for r in _collect_q_terms(q_terms):
         by_query.setdefault(r["query_id"], {})[int(r["term_id"])] = float(r["qtf"])
     out_rows: list[tuple] = []
     for qid, pairs in by_query.items():
