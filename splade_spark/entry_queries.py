@@ -1426,6 +1426,130 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# IVF-style ANN: deterministic centroid subsample → broadcast assignment →
+# probe the nprobe nearest centroid lists. The other standard ANN scale
+# path next to LSH bucketing (SURVEY §2.5 W6 analogue of FAISS IVF).
+IVF_CENT_MOD = 25   # centroids = vectors with vec_id % 25 == 0
+IVF_NPROBE = 3
+IVF_NQ = 5
+IVF_K = 5
+
+# sequential per-pair dot product (identical fold order on both engines)
+_DOT_DUCK = (
+    "list_sum(list_transform(range(1, len({a}) + 1), "
+    "i -> CAST({a}[i] AS DOUBLE) * {b}[i]))"
+)
+
+
+@register(
+    "ann_ivf_topk",
+    f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+cent AS (SELECT vec_id AS cid, embedding AS ce FROM e WHERE vec_id % {IVF_CENT_MOD} = 0),
+nrm AS (
+  SELECT vec_id,
+         sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS nrm
+  FROM e
+),
+acos AS (
+  SELECT e.vec_id, c.cid,
+         {_DOT_DUCK.format(a='e.embedding', b='c.ce')}
+           / (n.nrm * cn.nrm) AS c
+  FROM e CROSS JOIN cent c
+  JOIN nrm n ON n.vec_id = e.vec_id
+  JOIN nrm cn ON cn.vec_id = c.cid
+),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, cid ASC) AS rn
+    FROM acos
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, cid ASC) AS rn
+    FROM acos WHERE vec_id < {IVF_NQ}
+  ) WHERE rn <= {IVF_NPROBE}
+),
+cand AS (
+  SELECT p.query_id, a.vec_id
+  FROM probes p JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.query_id
+),
+cos2 AS (
+  SELECT c.query_id, c.vec_id,
+         {_DOT_DUCK.format(a='qe.embedding', b='ve.embedding')}
+           / (nq.nrm * nv.nrm) AS c
+  FROM cand c
+  JOIN e qe ON qe.vec_id = c.query_id
+  JOIN e ve ON ve.vec_id = c.vec_id
+  JOIN nrm nq ON nq.vec_id = c.query_id
+  JOIN nrm nv ON nv.vec_id = c.vec_id
+),
+ranked AS (
+  SELECT query_id, vec_id, c,
+         row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id ASC) AS rank
+  FROM cos2
+)
+SELECT query_id, CAST(rank AS INT) AS rank, vec_id,
+       CAST(round(c * 1000000) AS BIGINT) AS cos_micro
+FROM ranked WHERE rank <= {IVF_K}
+""",
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN top-k: a deterministic centroid subsample is
+    BROADCAST; every vector is assigned to its nearest centroid map-side
+    (no shuffle — the IVF coarse quantizer shape); queries probe their
+    ``nprobe`` nearest centroid lists and score exact cosine only within
+    the probed lists. At scale: centroid count is O(√N), the assignment
+    is a broadcast nested loop that AQE keeps map-side, and the candidate
+    join shuffles by centroid id — never all-pairs."""
+    from .functions.vector import dot, l2_norm
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    e = e.withColumn("nrm", l2_norm("embedding"))
+    cent = e.filter(F.col("vec_id") % IVF_CENT_MOD == 0).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"),
+        F.col("nrm").alias("cn"),
+    )
+    acos = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "cid", "nrm",
+        (dot("embedding", "ce") / (F.col("nrm") * F.col("cn"))).alias("c"),
+    )
+    wv = Window.partitionBy("vec_id").orderBy(F.desc("c"), F.asc("cid"))
+    ranked_c = acos.withColumn("rn", F.row_number().over(wv))
+    assign = ranked_c.filter(F.col("rn") == 1).select("vec_id", "cid")
+    probes = (
+        ranked_c.filter((F.col("vec_id") < IVF_NQ) & (F.col("rn") <= IVF_NPROBE))
+        .select(F.col("vec_id").alias("query_id"), "cid")
+    )
+    cand = probes.join(assign, "cid").filter(
+        F.col("vec_id") != F.col("query_id")
+    ).select("query_id", "vec_id")
+    q = e.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    cos2 = (
+        cand.join(F.broadcast(q), "query_id")
+        .join(e, "vec_id")
+        .select(
+            "query_id", "vec_id",
+            (dot("qe", "embedding") / (F.col("qn") * F.col("nrm"))).alias("c"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("c"), F.asc("vec_id"))
+    return (
+        cos2.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= IVF_K)
+        .select(
+            "query_id", F.col("rank").cast("int").alias("rank"), "vec_id",
+            F.round(F.col("c") * 1e6).cast("bigint").alias("cos_micro"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Relational coverage (TPC-H-ish tables) — generic engine operators
 # ---------------------------------------------------------------------------

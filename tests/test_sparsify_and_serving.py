@@ -196,6 +196,51 @@ def test_save_load_roundtrip_and_server(spark, corpus, tmp_path):
     idx2.unpersist()
 
 
+def test_wand_heavy_query_routing_equivalent(spark, corpus):
+    """Scale safety valve: with wand_postings_cap=0 EVERY query is 'heavy'
+    and routes through the fully-distributed exhaustive plan inside
+    score_wand — results must be identical to the plain exhaustive
+    strategy (and to default WAND)."""
+    pages, queries = corpus
+    cfg = EngineConfig(block_size=64, index_partitions=4)
+    docs = spark.createDataFrame(pages[["url", "text"]])
+    idx = build_index(docs, id_col="url", text_col="text", cfg=cfg)
+    qdf = spark.createDataFrame(queries)
+
+    routed_cfg = EngineConfig(block_size=64, index_partitions=4,
+                              wand_postings_cap=0)
+    key = lambda rows: sorted(
+        (r["query_id"], r["rank"], r["doc_id"], round(float(r["score"]), 4))
+        for r in rows
+    )
+    base = key(retrieve(idx, qdf, k=K, strategy="exhaustive", cfg=cfg).collect())
+    routed = key(retrieve(idx, qdf, k=K, strategy="wand", cfg=routed_cfg).collect())
+    wand = key(retrieve(idx, qdf, k=K, strategy="wand", cfg=cfg).collect())
+    assert routed == base
+    assert wand == base
+    idx.unpersist()
+
+
+def test_corpus_sized_query_set_rejected(spark, corpus):
+    """The query-side driver collect is a CONTRACT (query set, not a
+    corpus) — enforced, not assumed."""
+    import splade_spark.operators.query as Q
+
+    pages, queries = corpus
+    cfg = EngineConfig(block_size=64, index_partitions=4)
+    docs = spark.createDataFrame(pages[["url", "text"]])
+    idx = build_index(docs, id_col="url", text_col="text", cfg=cfg)
+    qdf = spark.createDataFrame(queries)
+    old = Q._MAX_QUERY_TERM_ROWS
+    Q._MAX_QUERY_TERM_ROWS = 3
+    try:
+        with pytest.raises(ValueError, match="query set exceeds"):
+            retrieve(idx, qdf, k=K, strategy="wand", cfg=cfg)
+    finally:
+        Q._MAX_QUERY_TERM_ROWS = old
+    idx.unpersist()
+
+
 def test_qrels_flexible_schemas(spark):
     """P3/P4 + the reference's column-name tolerance
     (/root/reference/src/data/pd_module/retrieval.py:178-204)."""
