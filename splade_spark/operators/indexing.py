@@ -279,23 +279,47 @@ def _build_index_classic(
     # so the wide-cache plan stands.
     numbered, stats = _number_docs_with_stats(toks, n_part)
     doc_dim = numbered.select("doc_idx", "doc_id", "dl").persist()
-    # tf backend: "jvm" (default) explodes tokens and partial-aggregates in
-    # whole-stage codegen; "arrow" computes exact per-doc tf inside an
-    # Arrow-batched pandas stage with no (doc, term) shuffle. Measured on
-    # this sandbox (1M docs): jvm 145s@local[8] / 130s@local[32]; arrow
-    # 162s@8 but 256s@32 — 32 concurrent Python workers contend with the
-    # JVM for throttled vCPUs, so jvm is the default; arrow remains the
-    # right choice when executors are Python-heavy and cores per executor
-    # are modest (the common real-cluster shape).
-    if os.environ.get("SPARK_GRAFT_TF_BACKEND", "jvm") == "jvm":
+    # tf backend (all three measured on this sandbox at 1M docs, local[8],
+    # ADJACENT runs in the same host period — this VM's throughput swings
+    # >2x between periods, so only adjacent comparisons are meaningful):
+    # - "jvm" (default): explode+groupBy(doc,term) — partial agg, one wide
+    #   shuffle keyed by (doc_idx, term). 387s adjacent / 130-145s best
+    #   period. The shuffle is ~1.7 GB after map-side combine; wins.
+    # - "expr": per-doc tf as a pure Column expression (array_distinct +
+    #   filter-count per token array) — each doc is ONE row, so tf needs
+    #   NO shuffle at all. Measured 574s adjacent (1.5x slower than jvm):
+    #   the O(distinct x tokens) string comparisons per doc (~120x256 here)
+    #   cost more than the shuffle they remove. Kept as the zero-shuffle
+    #   option for clusters where shuffle IO, not CPU, binds.
+    # - "arrow": exact per-doc tf inside an Arrow-batched pandas stage; no
+    #   shuffle, but Python workers contend with the JVM at high local
+    #   thread counts (162s@8 vs 256s@32 in the round-1 period).
+    backend = os.environ.get("SPARK_GRAFT_TF_BACKEND", "jvm")
+    if backend == "jvm":
         tf_idx = (
             numbered.select("doc_idx", "dl", F.explode("tokens").alias("term"))
             .groupBy("doc_idx", "dl", "term")
             .agg(F.count(F.lit(1)).cast("int").alias("tf"))
             .persist()
         )
-    else:
+    elif backend == "arrow":
         tf_idx = _tf_from_tokens_arrow(numbered).persist()
+    else:
+        tf_structs = F.transform(
+            F.array_distinct("tokens"),
+            lambda t: F.struct(
+                t.alias("term"),
+                F.size(F.filter("tokens", lambda x: x == t)).cast("int").alias("tf"),
+            ),
+        )
+        tf_idx = (
+            numbered.select(
+                "doc_idx", "dl", F.explode(tf_structs).alias("s")
+            )
+            .select("doc_idx", "dl", F.col("s.term").alias("term"),
+                    F.col("s.tf").alias("tf"))
+            .persist()
+        )
     idx = _finish_classic(tf_idx, doc_dim, stats, cfg, n_part)
     tf_idx.unpersist()
     return idx
