@@ -628,20 +628,11 @@ _SHINGLES_DUCK = (
 
 
 def _shingles_col():
-    """array<string> of word 3-gram shingles (Spark Column, JVM-side).
-    Guarded: Spark's sequence(1, 0) would count DOWN, so short docs get an
-    explicit empty array."""
-    toks = tokens_col("text")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 2),
-        lambda j: F.concat_ws(
-            " ",
-            F.element_at(toks, j),
-            F.element_at(toks, j + 1),
-            F.element_at(toks, j + 2),
-        ),
-    )
-    return F.when(F.size(toks) >= 3, grams).otherwise(F.array().cast("array<string>"))
+    """array<string> of word 3-gram shingles (Spark Column, JVM-side) —
+    `operators.dedup.shingles_col` at the oracle's pinned n=3."""
+    from .operators.dedup import shingles_col
+
+    return shingles_col("text", n=3)
 
 
 @register(
@@ -669,44 +660,20 @@ WHERE a.doc_id < b.doc_id
 )
 def minhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates: 3-gram shingle → minhash → band →
-    bucket-join. Portable hash = md5(shingle:i) so Spark and DuckDB agree
-    bit-for-bit."""
+    bucket-join. This is `operators.dedup.minhash_lsh_candidates` pinned at
+    the oracle operating point: md5 hashing (portable — Spark and DuckDB
+    agree bit-for-bit) with 8 hashes in 4 bands of 2 and no bucket cap (the
+    ≤500-doc slice is bounded by construction). Production runs use the
+    same operator with xxhash64, corpus-sized (r, b), and a bucket cap."""
+    from .operators.dedup import minhash_lsh_candidates
+
     docs = _docs(spark, sf_dir).filter(F.col("doc_id") < MINHASH_MAX_DOC)
-    dt = docs.select("doc_id", F.explode(_shingles_col()).alias("term")).distinct()
-    hi = spark.range(N_MINHASH).select(F.col("id").cast("int").alias("i"))
-    mh = (
-        dt.crossJoin(F.broadcast(hi))
-        .select(
-            "doc_id", "i",
-            F.md5(F.concat_ws(":", "term", F.col("i").cast("string"))).alias("hv"),
-        )
-        .groupBy("doc_id", "i").agg(F.min("hv").alias("h"))
-    )
-    bands = (
-        mh.withColumn("band", (F.col("i") / 2).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.sort_array(F.collect_list(F.struct("i", "h"))),
-                        lambda s: s["h"],
-                    ),
-                    "|",
-                )
-            ).alias("bh")
-        )
-        # persisted so the self-join below reads the computed bands once
-        # instead of recomputing the shingle→minhash pipeline per side
-        .persist()
-    )
-    a = bands.alias("a")
-    b = bands.alias("b")
-    return (
-        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh")))
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+    return minhash_lsh_candidates(
+        docs,
+        n_hashes=N_MINHASH,
+        rows_per_band=2,
+        hash_fn="md5",
+        bucket_cap=None,
     )
 
 
