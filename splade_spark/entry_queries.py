@@ -504,6 +504,29 @@ def bm25_topk_saved(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("bm25_topk_sharded", _BM25_SQL_DUCK_RANKONLY)
+def bm25_topk_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The doc-range sharded serving tier end-to-end: build → split
+    postings at shard boundaries (narrow job, boundary blocks re-encoded)
+    → 4 per-shard warm servers → fan-out/merge broker answers each query
+    (sharding.ShardedServer). The merge is exact — every doc's postings
+    live entirely in one shard — so ranks must equal the unsharded engine
+    and the DuckDB BM25 oracle."""
+    from .operators.indexing import build_index
+    from .operators.sharding import ShardedServer
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    idx = build_index(docs, id_col="doc_id", text_col="text")
+    broker = ShardedServer(idx, n_shards=4)
+    rows = []
+    for qid, text in BM25_QUERIES:
+        for rank, (doc_id, _score) in enumerate(broker.search(text, k=TOPK), 1):
+            rows.append((qid, rank, int(doc_id)))
+    return spark.createDataFrame(
+        rows, "query_id string, rank int, doc_id bigint"
+    )
+
+
 _MOMENTS_SQL = f"""
 WITH docsM AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
 {expand_sql('docsM', 'doc_id', 'text')},

@@ -428,32 +428,51 @@ class LocalIndexServer:
     doc range and merge per-shard top-k."""
 
     def __init__(self, index: InvertedIndex):
-        self.meta = dict(index.meta)
         # Arrow-batched transfers (toPandas) — a row-at-a-time collect() of
         # the block table measured ~10x slower for the same bytes
         td = index.term_dict.select("term", "term_id").toPandas()
-        self.term_info = dict(
+        term_info = dict(
             zip(td["term"].tolist(), td["term_id"].astype(int).tolist())
         )
         bp = index.postings.select(
             "term_id", "max_weight", "min_doc", "max_doc", "doc_gaps", "weights"
         ).toPandas()
+        dd = index.doc_dim.select("doc_idx", "doc_id").toPandas()
+        self._init_from_parts(index.meta, term_info, bp, dd)
+
+    def _init_from_parts(
+        self,
+        meta: dict,
+        term_info: dict | None,
+        postings_pdf: pd.DataFrame,
+        doc_dim_pdf: pd.DataFrame,
+    ) -> None:
+        """Build the resident structures from already-loaded pandas frames
+        (the sharded broker loads the whole sharded table ONCE and hands
+        each shard server its slice — see operators/sharding.py).
+        ``doc_ids`` is offset-addressed by ``doc_base`` so a doc-range
+        shard (doc_idx in [lo, hi)) stays dense in memory."""
+        self.meta = dict(meta)
+        self.term_info = term_info
         self.by_term: dict[int, list] = {}
         for tid, mw_, lo, hi, g, wbytes in zip(
-            bp["term_id"].astype(int).tolist(),
-            bp["max_weight"].astype(float).tolist(),
-            bp["min_doc"].astype(int).tolist(),
-            bp["max_doc"].astype(int).tolist(),
-            bp["doc_gaps"].tolist(),
-            bp["weights"].tolist(),
+            postings_pdf["term_id"].astype(int).tolist(),
+            postings_pdf["max_weight"].astype(float).tolist(),
+            postings_pdf["min_doc"].astype(int).tolist(),
+            postings_pdf["max_doc"].astype(int).tolist(),
+            postings_pdf["doc_gaps"].tolist(),
+            postings_pdf["weights"].tolist(),
         ):
             self.by_term.setdefault(tid, []).append(
                 (mw_, lo, hi, bytes(g), bytes(wbytes))
             )
-        dd = index.doc_dim.select("doc_idx", "doc_id").toPandas()
-        self.doc_ids: list[str | None] = [None] * len(dd)
-        for i, d in zip(dd["doc_idx"].astype(int).tolist(), dd["doc_id"].tolist()):
-            self.doc_ids[i] = d
+        idxs = doc_dim_pdf["doc_idx"].astype(int).tolist()
+        self.doc_base = min(idxs) if idxs else 0
+        self.doc_ids: list[str | None] = [None] * (
+            (max(idxs) - self.doc_base + 1) if idxs else 0
+        )
+        for i, d in zip(idxs, doc_dim_pdf["doc_id"].tolist()):
+            self.doc_ids[i - self.doc_base] = d
         self.exclude = set(self.meta.get("exclude_terms", ()) or ())
         self.min_weight = float(self.meta.get("min_weight", 0.0))
         self.top_k_terms = int(self.meta.get("top_k_terms", 1 << 30))
@@ -483,6 +502,18 @@ class LocalIndexServer:
     def search_ids(
         self, qtf_by_tid: dict[int, float], k: int = 10
     ) -> list[tuple[str, float]]:
+        docs, scores = self.topk_arrays(qtf_by_tid, k)
+        return [
+            (self.doc_ids[int(d) - self.doc_base], float(s))
+            for d, s in zip(docs, scores)
+        ]
+
+    def topk_arrays(
+        self, qtf_by_tid: dict[int, float], k: int = 10
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Top-k as (global doc_idx int64, score float32) arrays, ranked
+        (score desc, doc_idx asc) — the merge currency of the sharded
+        broker (sharding.ShardedServer)."""
         # W3 mirror: strict > min_weight, then top-k (qtf desc, term_id asc)
         items = [
             (tid, w) for tid, w in qtf_by_tid.items() if w > self.min_weight
@@ -500,17 +531,14 @@ class LocalIndexServer:
                 gaps.append(g)
                 wts.append(wbytes)
         if not gaps:
-            return []
-        docs, scores = _wand_topk(
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
+        return _wand_topk(
             np.asarray(qtfs, dtype=np.float32),
             np.asarray(maxw, dtype=np.float32),
             np.asarray(mind, dtype=np.int64),
             np.asarray(maxd, dtype=np.int64),
             gaps, wts, k,
         )
-        return [
-            (self.doc_ids[int(d)], float(s)) for d, s in zip(docs, scores)
-        ]
 
 
 def local_server(index: InvertedIndex) -> LocalIndexServer:
