@@ -126,6 +126,22 @@ def main() -> None:
     retrieve(idx, qall, k=DEFAULT.top_k, strategy="wand").collect()
     batch_sec = time.perf_counter() - t0
 
+    # sharded serving tier: split postings into 4 doc-range shards, fan
+    # each query out to 4 per-shard servers and merge — the web-scale
+    # serving shape (one shard per node); results are rank-identical
+    from splade_spark.operators.sharding import ShardedServer
+
+    t0 = time.perf_counter()
+    broker = ShardedServer(idx, n_shards=4)
+    shard_load_sec = time.perf_counter() - t0
+    broker.search(qdf.iloc[0]["text"], k=DEFAULT.top_k)  # warmup
+    sh_ms: list[float] = []
+    for _, row in qdf.iterrows():
+        t0 = time.perf_counter()
+        broker.search(row["text"], k=DEFAULT.top_k)
+        sh_ms.append((time.perf_counter() - t0) * 1000.0)
+    sharded_p50 = statistics.median(sh_ms)
+
     out = {
         "metric": "headline_suite_wall",
         "value": suite_sec,
@@ -140,6 +156,8 @@ def main() -> None:
         "query_p95_ms": round(p95, 2),
         "server_load_sec": round(server_load_sec, 3),
         "batch20_wand_sec": round(batch_sec, 3),
+        "sharded4_p50_ms": round(sharded_p50, 2),
+        "sharded4_load_sec": round(shard_load_sec, 3),
         "cpus": int(cpus),
     }
     spark.stop()
