@@ -15,16 +15,27 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
+
+# direct `python scripts/...` runs; spark-submit gets the package from
+# --py-files dist/splade_spark.zip instead
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--input", required=True, help="parquet path or table")
+    ap.add_argument("--input", required=True,
+                    help="parquet path or Iceberg table identifier")
     ap.add_argument("--output", required=True)
+    ap.add_argument("--format", default="auto",
+                    choices=("auto", "parquet", "iceberg"),
+                    help="input format; 'auto' = path→parquet, id→iceberg")
     ap.add_argument("--id-col", default="url")
     ap.add_argument("--text-col", default="text")
+    ap.add_argument("--lang", default=None,
+                    help="partition-pruned language filter (contract tables)")
     ap.add_argument("--resumable", action="store_true")
     ap.add_argument("--buckets", type=int, default=64)
     ap.add_argument("--master", default=None)
@@ -32,9 +43,18 @@ def main() -> None:
 
     from splade_spark.operators.indexing import build_index
     from splade_spark.session import get_spark
+    from splade_spark.sources import read_web_corpus
 
     spark = get_spark(master=args.master, app_name="splade_build_index")
-    docs = spark.read.parquet(args.input)
+    if args.lang is not None or args.format == "iceberg" or "/" not in args.input:
+        # contract table (url, warc_ts, html, text, lang): scan through the
+        # source layer so lang pushes down and only needed columns are read
+        docs = read_web_corpus(
+            spark, args.input, fmt=args.format,
+            columns=(args.id_col, args.text_col), lang=args.lang,
+        )
+    else:
+        docs = spark.read.parquet(args.input)
 
     t0 = time.perf_counter()
     if args.resumable:
