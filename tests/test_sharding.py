@@ -153,6 +153,14 @@ def test_save_load_shard_roundtrip(spark, index, corpus):
         shard_servers.append(local_server(shard))
     assert total_docs == n_docs
 
+    # the shard_id filter must prune PARTITION DIRECTORIES at the scan —
+    # a serving node reads only its own shard's files, never the table
+    plan = load_shard(spark, out, 1).postings._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters:")[1].splitlines()[0]
+    assert "shard_id" in pf
+
     srv = local_server(index)
     for text in list(queries["text"])[:8]:
         want = srv.search(text, k=K)
