@@ -32,10 +32,13 @@ Three physical strategies over the same compressed index:
   merged with amortized doubling (never re-processing history), and θ is
   refreshed at merge points (a stale-low θ only weakens pruning, never
   correctness). Queries whose candidate postings exceed
-  ``cfg.wand_postings_cap`` (est. Σ df over query terms) are routed to
-  the exhaustive plan instead of landing a stopword-sized posting set in
-  one Python task — this is the 10^12-doc safety valve. Exactness is
-  asserted by tests (WAND ≡ exhaustive ≡ oracle).
+  ``cfg.wand_postings_cap`` (est. Σ df over query terms) run as a
+  PARTIAL WAND phase instead of one task: their blocks are split into
+  doc-disjoint range shards (ceil(Σdf/cap) of them) and the same kernel
+  runs per (query, shard) with per-shard top-k merged exactly — a
+  stopword-sized posting set at 10^12 docs fans out over many ~cap-sized
+  tasks while keeping block-max pruning. Exactness is asserted by tests
+  (WAND ≡ sharded-WAND ≡ exhaustive ≡ oracle).
 - ``local`` / :class:`LocalIndexServer`: warm in-process serving. The
   reference's own serving shape — its query loop scores postings
   in-process against a memory-mapped index
@@ -361,7 +364,8 @@ def score_wand(
     for r in rows:
         est = int(r["df"] or 0) if has_df else 0
         per_q[r["query_id"]] = per_q.get(r["query_id"], 0) + est
-    heavy = {q for q, n in per_q.items() if n > int(cfg.wand_postings_cap)}
+    cap = int(cfg.wand_postings_cap)
+    heavy = {q for q, n in per_q.items() if n > cap}
     light_rows = [r for r in rows if r["query_id"] not in heavy]
     heavy_rows = [r for r in rows if r["query_id"] in heavy]
 
@@ -369,7 +373,11 @@ def score_wand(
     if light_rows:
         parts.append(_wand_scores(index, q_terms, k, light_rows))
     if heavy_rows:
-        parts.append(_exhaustive_scores(index, q_terms, heavy_rows))
+        # size doc-range shards so each (query, shard) task sees ~cap
+        # postings of the heaviest query; never more shards than docs
+        n_shards = -(-max(per_q[q] for q in heavy) // max(1, cap))
+        n_shards = max(2, min(4096, int(index.meta["n_docs"]), n_shards))
+        parts.append(_wand_scores_sharded(index, k, heavy_rows, n_shards))
     scores = parts[0]
     for p in parts[1:]:
         scores = scores.unionByName(p)
@@ -403,6 +411,63 @@ def _wand_scores(
     schema = "query_id string, doc_idx bigint, score float"
     return cand.groupBy("query_id").applyInPandas(
         lambda pdf: wand_one_query(pdf), schema=schema
+    )
+
+
+def _wand_scores_sharded(
+    index: InvertedIndex, k: int, rows: list, n_shards: int
+) -> DataFrame:
+    """Partial WAND phase + merge for HEAVY queries (Σ df over terms >
+    wand_postings_cap): candidate blocks are split into ``n_shards``
+    doc-disjoint range shards (sharding.shard_blocks — narrow, no
+    shuffle), the block-max kernel runs per (query, shard) task, and the
+    per-shard top-ks merge exactly in the shared ``_topk`` window.
+
+    Exactness: every doc's postings live entirely in one shard, so each
+    (query, shard) task computes COMPLETE scores for its docs and the
+    global top-k is a subset of the union of per-shard top-ks — the same
+    argument as the sharded serving broker. θ-pruning is per-shard
+    (weaker than global, never wrong). This replaces the old
+    route-to-exhaustive fallback: a stopword-sized posting set now fans
+    out over ceil(Σdf / cap) tasks of ~cap postings each, keeping WAND's
+    block skipping instead of abandoning it
+    (reference accumulate semantics: sparse_index.py:661-748)."""
+    from .sharding import shard_blocks
+
+    spark = index.postings.sparkSession
+    q_local = spark.createDataFrame(
+        [(r["query_id"], r["term_id"], r["qtf"]) for r in rows],
+        schema="query_id string, term_id bigint, qtf float",
+    )
+    base = index.postings
+    terms = sorted({r["term_id"] for r in rows})
+    if len(terms) <= _ISIN_PUSHDOWN_CAP:
+        base = base.filter(F.col("term_id").isin(terms))
+    sharded = shard_blocks(base, int(index.meta["n_docs"]), n_shards)
+    cand = sharded.join(F.broadcast(q_local), "term_id").select(
+        "query_id", "shard_id", "qtf", "min_doc", "max_doc", "max_weight",
+        "doc_gaps", "weights",
+    )
+
+    def wand_one_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = pdf["query_id"].iloc[0]
+        docs, scores = _wand_topk(
+            pdf["qtf"].to_numpy(np.float32),
+            pdf["max_weight"].to_numpy(np.float32),
+            pdf["min_doc"].to_numpy(np.int64),
+            pdf["max_doc"].to_numpy(np.int64),
+            pdf["doc_gaps"].tolist(),
+            pdf["weights"].tolist(),
+            k,
+        )
+        return pd.DataFrame(
+            {"query_id": np.repeat(qid, docs.size), "doc_idx": docs,
+             "score": scores}
+        )
+
+    schema = "query_id string, doc_idx bigint, score float"
+    return cand.groupBy("query_id", "shard_id").applyInPandas(
+        lambda pdf: wand_one_shard(pdf), schema=schema
     )
 
 

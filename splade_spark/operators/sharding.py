@@ -49,10 +49,18 @@ def shard_postings(index: InvertedIndex, n_shards: int) -> DataFrame:
     boundary-crossing blocks are decoded once, split with searchsorted,
     and re-encoded per side with fresh (n_postings, min_doc, max_doc,
     max_weight) block metadata."""
+    return shard_blocks(index.postings, int(index.meta["n_docs"]), n_shards)
+
+
+def shard_blocks(postings: DataFrame, n_docs: int, n_shards: int) -> DataFrame:
+    """The doc-range splitter on any POSTINGS_SCHEMA DataFrame. Narrow —
+    no shuffle; the query engine applies it to an already term-pruned
+    block set to give the partial WAND phase doc-disjoint tasks
+    (query.py:_wand_scores_sharded)."""
     if n_shards < 1:
         raise ValueError("n_shards must be >= 1")
-    n_docs = int(index.meta["n_docs"])
     dps = max(1, math.ceil(n_docs / n_shards))
+    postings = postings.select(*_COLS[1:])  # POSTINGS_SCHEMA order
 
     def split_batches(batches):
         for pdf in batches:
@@ -95,7 +103,7 @@ def shard_postings(index: InvertedIndex, n_shards: int) -> DataFrame:
             if rows["shard_id"]:
                 yield pd.DataFrame(rows)[_COLS]
 
-    return index.postings.mapInPandas(split_batches, schema=_SHARDED_SCHEMA)
+    return postings.mapInPandas(split_batches, schema=_SHARDED_SCHEMA)
 
 
 _COLS = [

@@ -198,9 +198,10 @@ def test_save_load_roundtrip_and_server(spark, corpus, tmp_path):
 
 def test_wand_heavy_query_routing_equivalent(spark, corpus):
     """Scale safety valve: with wand_postings_cap=0 EVERY query is 'heavy'
-    and routes through the fully-distributed exhaustive plan inside
-    score_wand — results must be identical to the plain exhaustive
-    strategy (and to default WAND)."""
+    and runs through the partial-WAND phase (doc-disjoint shard split →
+    per-(query, shard) kernel → exact merge) at MAXIMAL sharding (one doc
+    per shard, since n_shards caps at n_docs) — results must be identical
+    to the plain exhaustive strategy (and to default single-task WAND)."""
     pages, queries = corpus
     cfg = EngineConfig(block_size=64, index_partitions=4)
     docs = spark.createDataFrame(pages[["url", "text"]])
@@ -218,6 +219,14 @@ def test_wand_heavy_query_routing_equivalent(spark, corpus):
     wand = key(retrieve(idx, qdf, k=K, strategy="wand", cfg=cfg).collect())
     assert routed == base
     assert wand == base
+
+    # mixed split: a mid-range cap makes SOME queries heavy (partial-WAND
+    # shards) and leaves others light (single-task kernel); the union must
+    # still be exact
+    mixed_cfg = EngineConfig(block_size=64, index_partitions=4,
+                             wand_postings_cap=300)
+    mixed = key(retrieve(idx, qdf, k=K, strategy="wand", cfg=mixed_cfg).collect())
+    assert mixed == base
     idx.unpersist()
 
 
