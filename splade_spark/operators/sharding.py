@@ -197,6 +197,44 @@ class ShardedServer:
             )
             self.servers.append(srv)
 
+    @classmethod
+    def from_saved(cls, spark: SparkSession, out_dir: str) -> "ShardedServer":
+        """Boot the broker from a ``save_sharded`` layout: one
+        LocalIndexServer per shard directory, each load pruned to its own
+        shard's files (load_shard), term dictionary loaded once and
+        shared. This is the broker a serving fleet runs — except there
+        each per-shard server lives on its own node."""
+        import json
+
+        from .query import LocalIndexServer
+
+        with open(os.path.join(out_dir, "index_meta.json")) as f:
+            meta = json.load(f)
+        n_shards = int(meta["n_shards"])
+        td = spark.read.parquet(os.path.join(out_dir, "term_dict")).select(
+            "term", "term_id"
+        ).toPandas()
+        term_info = dict(
+            zip(td["term"].tolist(), td["term_id"].astype(int).tolist())
+        )
+        self = cls.__new__(cls)
+        self.n_shards = n_shards
+        self.servers = []
+        for s in range(n_shards):
+            shard = load_shard(spark, out_dir, s)
+            srv = LocalIndexServer.__new__(LocalIndexServer)
+            srv._init_from_parts(
+                shard.meta,
+                term_info,
+                shard.postings.select(
+                    "term_id", "max_weight", "min_doc", "max_doc",
+                    "doc_gaps", "weights",
+                ).toPandas(),
+                shard.doc_dim.select("doc_idx", "doc_id").toPandas(),
+            )
+            self.servers.append(srv)
+        return self
+
     def search(self, text: str, k: int = 10) -> list[tuple[str, float]]:
         from ..functions.tokenize import tokenize_py
 

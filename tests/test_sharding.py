@@ -126,6 +126,18 @@ def test_sharded_server_weighted_parity(index):
     assert sharded.search_weighted(qvec, k=K) == srv.search_weighted(qvec, k=K)
 
 
+def test_sharded_server_from_saved(spark, index, corpus):
+    """ShardedServer.from_saved(save_sharded layout) answers identically
+    to the broker built from the in-memory index."""
+    _, queries = corpus
+    out = tempfile.mkdtemp(prefix="splade_sharded_srv_")
+    save_sharded(index, out, n_shards=3)
+    mem = ShardedServer(index, n_shards=3)
+    saved = ShardedServer.from_saved(spark, out)
+    for text in list(queries["text"])[:8] + ["zzz-oov", ""]:
+        assert saved.search(text, k=K) == mem.search(text, k=K)
+
+
 def test_save_load_shard_roundtrip(spark, index, corpus):
     """save_sharded → load_shard(s) gives per-shard indexes whose UNION of
     LocalIndexServer top-ks merges to the unsharded ranking; each shard's
