@@ -504,6 +504,29 @@ def bm25_topk_saved(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("bm25_topk_heavy_partial", _BM25_SQL_DUCK_RANKONLY)
+def bm25_topk_heavy_partial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The heavy-query partial-WAND phase with a BINDING cap: with
+    wand_postings_cap=500 every benchmark query's estimated postings
+    (Σ df over its terms) exceeds the cap, so all of them run as
+    doc-disjoint shard tasks merged exactly (query._wand_scores_sharded)
+    instead of one kernel task per query. Ranks must equal the same
+    DuckDB BM25 oracle as the unsharded engine entry."""
+    from .config import EngineConfig
+    from .operators.indexing import build_index
+    from .operators.query import retrieve
+
+    cfg = EngineConfig(wand_postings_cap=500)
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    idx = build_index(docs, id_col="doc_id", text_col="text", cfg=cfg)
+    queries = spark.createDataFrame(BM25_QUERIES, "query_id string, text string")
+    res = retrieve(idx, queries, k=TOPK, strategy="wand", cfg=cfg)
+    return res.select(
+        "query_id", F.col("rank").cast("int").alias("rank"),
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+    )
+
+
 @register("bm25_topk_sharded", _BM25_SQL_DUCK_RANKONLY)
 def bm25_topk_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The doc-range sharded serving tier end-to-end: build → split
