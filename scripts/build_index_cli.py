@@ -20,8 +20,13 @@ import sys
 import time
 
 # direct `python scripts/...` runs; spark-submit gets the package from
-# --py-files dist/splade_spark.zip instead
-sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+# --py-files dist/splade_spark.zip instead. PYTHONPATH is exported too so
+# local-mode Python WORKERS (pandas UDF stages) can import the package
+# when the CLI is launched from another directory
+_repo_root = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
+sys.path.insert(0, _repo_root)
+os.environ["PYTHONPATH"] = os.path.abspath(_repo_root) + os.pathsep + os.environ.get(
+    "PYTHONPATH", "")
 
 
 def main() -> None:
@@ -41,18 +46,28 @@ def main() -> None:
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
 
+    from pyspark.sql import functions as F
+
     from splade_spark.operators.indexing import build_index
     from splade_spark.session import get_spark
     from splade_spark.sources import read_web_corpus
+    from splade_spark.sources.corpus import WEB_CORPUS_SCHEMA, read_table
 
     spark = get_spark(master=args.master, app_name="splade_build_index")
-    if args.lang is not None or args.format == "iceberg" or "/" not in args.input:
-        # contract table (url, warc_ts, html, text, lang): scan through the
-        # source layer so lang pushes down and only needed columns are read
-        docs = read_web_corpus(
-            spark, args.input, fmt=args.format,
-            columns=(args.id_col, args.text_col), lang=args.lang,
-        )
+    if args.lang is not None or args.format == "iceberg":
+        if {args.id_col, args.text_col} <= set(WEB_CORPUS_SCHEMA):
+            # contract table (url, warc_ts, html, text, lang): scan through
+            # the source layer — lang pushes down, only needed columns read
+            docs = read_web_corpus(
+                spark, args.input, fmt=args.format,
+                columns=(args.id_col, args.text_col), lang=args.lang,
+            )
+        else:
+            # custom column names: raw read, same pushdown-friendly filter
+            docs = read_table(spark, args.input, args.format)
+            if args.lang is not None:
+                docs = docs.filter(F.col("lang") == args.lang)
+            docs = docs.select(args.id_col, args.text_col)
     else:
         docs = spark.read.parquet(args.input)
 

@@ -43,8 +43,10 @@ class EngineConfig:
     # exclusion from index metadata
     exclude_terms: tuple = ()
     # WAND routing: a query whose estimated candidate postings (Σ df over
-    # its terms) exceed this cap is scored by the fully-distributed
-    # exhaustive plan instead of a single-task WAND kernel
+    # its terms) exceed this cap runs as a partial WAND phase — its blocks
+    # split into ceil(Σdf/cap) doc-disjoint range shards, the kernel runs
+    # per (query, shard) task, per-shard top-ks merge exactly — instead of
+    # landing the whole posting set in one task
     wand_postings_cap: int = 4_000_000
     # BM25 (classic path impact weights; pinned in index_meta)
     k1: float = 1.2

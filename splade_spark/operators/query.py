@@ -350,9 +350,10 @@ def score_wand(
 
     Scale safety: a query whose estimated candidate postings (Σ df over
     its terms) exceed ``cfg.wand_postings_cap`` would put a corpus-sized
-    posting set into one Python task — such queries are routed to the
-    fully-distributed exhaustive plan instead; light queries keep the
-    single-task WAND kernel (their postings are small by construction).
+    posting set into one Python task — such queries run as the partial
+    WAND phase instead (``_wand_scores_sharded``: doc-disjoint shard
+    split → per-(query, shard) kernel → exact merge); light queries keep
+    the single-task kernel (their postings are small by construction).
     """
     spark = index.postings.sparkSession
     rows = _collect_q_terms(q_terms)
@@ -392,25 +393,31 @@ def _wand_scores(
         "doc_gaps", "weights",
     )
 
-    def wand_one_query(pdf: pd.DataFrame) -> pd.DataFrame:
-        qid = pdf["query_id"].iloc[0]
-        docs, scores = _wand_topk(
-            pdf["qtf"].to_numpy(np.float32),
-            pdf["max_weight"].to_numpy(np.float32),
-            pdf["min_doc"].to_numpy(np.int64),
-            pdf["max_doc"].to_numpy(np.int64),
-            pdf["doc_gaps"].tolist(),
-            pdf["weights"].tolist(),
-            k,
-        )
-        return pd.DataFrame(
-            {"query_id": np.repeat(qid, docs.size), "doc_idx": docs,
-             "score": scores}
-        )
-
-    schema = "query_id string, doc_idx bigint, score float"
     return cand.groupBy("query_id").applyInPandas(
-        lambda pdf: wand_one_query(pdf), schema=schema
+        lambda pdf: _wand_group(pdf, k), schema=_SCORES_SCHEMA
+    )
+
+
+_SCORES_SCHEMA = "query_id string, doc_idx bigint, score float"
+
+
+def _wand_group(pdf: pd.DataFrame, k: int) -> pd.DataFrame:
+    """One grouped-map task: run the shared kernel over this group's
+    candidate blocks (group key = query_id, or (query_id, shard_id) in
+    the partial phase — the kernel is key-agnostic)."""
+    qid = pdf["query_id"].iloc[0]
+    docs, scores = _wand_topk(
+        pdf["qtf"].to_numpy(np.float32),
+        pdf["max_weight"].to_numpy(np.float32),
+        pdf["min_doc"].to_numpy(np.int64),
+        pdf["max_doc"].to_numpy(np.int64),
+        pdf["doc_gaps"].tolist(),
+        pdf["weights"].tolist(),
+        k,
+    )
+    return pd.DataFrame(
+        {"query_id": np.repeat(qid, docs.size), "doc_idx": docs,
+         "score": scores}
     )
 
 
@@ -443,31 +450,23 @@ def _wand_scores_sharded(
     terms = sorted({r["term_id"] for r in rows})
     if len(terms) <= _ISIN_PUSHDOWN_CAP:
         base = base.filter(F.col("term_id").isin(terms))
+    else:
+        # term pruning MUST land below the shard split regardless — the
+        # split's mapInPandas is a barrier Catalyst can't push the later
+        # join through, and splitting the whole table decodes every
+        # boundary block corpus-wide
+        base = base.join(
+            F.broadcast(q_local.select("term_id").distinct()),
+            "term_id", "left_semi",
+        )
     sharded = shard_blocks(base, int(index.meta["n_docs"]), n_shards)
     cand = sharded.join(F.broadcast(q_local), "term_id").select(
         "query_id", "shard_id", "qtf", "min_doc", "max_doc", "max_weight",
         "doc_gaps", "weights",
     )
 
-    def wand_one_shard(pdf: pd.DataFrame) -> pd.DataFrame:
-        qid = pdf["query_id"].iloc[0]
-        docs, scores = _wand_topk(
-            pdf["qtf"].to_numpy(np.float32),
-            pdf["max_weight"].to_numpy(np.float32),
-            pdf["min_doc"].to_numpy(np.int64),
-            pdf["max_doc"].to_numpy(np.int64),
-            pdf["doc_gaps"].tolist(),
-            pdf["weights"].tolist(),
-            k,
-        )
-        return pd.DataFrame(
-            {"query_id": np.repeat(qid, docs.size), "doc_idx": docs,
-             "score": scores}
-        )
-
-    schema = "query_id string, doc_idx bigint, score float"
     return cand.groupBy("query_id", "shard_id").applyInPandas(
-        lambda pdf: wand_one_shard(pdf), schema=schema
+        lambda pdf: _wand_group(pdf, k), schema=_SCORES_SCHEMA
     )
 
 
@@ -483,6 +482,13 @@ def _topk(scores: DataFrame, index: InvertedIndex, k: int) -> DataFrame:
     )
 
 
+def load_term_info(term_dict: DataFrame) -> dict[str, int]:
+    """term → term_id dict via one Arrow transfer — the serving processes'
+    shared dictionary load (LocalIndexServer, ShardedServer)."""
+    td = term_dict.select("term", "term_id").toPandas()
+    return dict(zip(td["term"].tolist(), td["term_id"].astype(int).tolist()))
+
+
 class LocalIndexServer:
     """Warm in-process serving handle: the whole index (term dict,
     compressed blocks, doc-id map) resident in this process, queries
@@ -495,10 +501,7 @@ class LocalIndexServer:
     def __init__(self, index: InvertedIndex):
         # Arrow-batched transfers (toPandas) — a row-at-a-time collect() of
         # the block table measured ~10x slower for the same bytes
-        td = index.term_dict.select("term", "term_id").toPandas()
-        term_info = dict(
-            zip(td["term"].tolist(), td["term_id"].astype(int).tolist())
-        )
+        term_info = load_term_info(index.term_dict)
         bp = index.postings.select(
             "term_id", "max_weight", "min_doc", "max_doc", "doc_gaps", "weights"
         ).toPandas()

@@ -40,6 +40,12 @@ from .indexing import POSTINGS_SCHEMA, InvertedIndex
 _SHARDED_SCHEMA = "shard_id INT, " + POSTINGS_SCHEMA
 
 
+def _dps(n_docs: int, n_shards: int) -> int:
+    """Docs per shard — THE boundary rule (shard of doc = doc_idx // dps).
+    Single definition so split, save, and serve can never diverge."""
+    return max(1, math.ceil(n_docs / n_shards))
+
+
 def shard_postings(index: InvertedIndex, n_shards: int) -> DataFrame:
     """Postings → postings + ``shard_id``, split at doc-range boundaries.
 
@@ -59,7 +65,7 @@ def shard_blocks(postings: DataFrame, n_docs: int, n_shards: int) -> DataFrame:
     (query.py:_wand_scores_sharded)."""
     if n_shards < 1:
         raise ValueError("n_shards must be >= 1")
-    dps = max(1, math.ceil(n_docs / n_shards))
+    dps = _dps(n_docs, n_shards)
     postings = postings.select(*_COLS[1:])  # POSTINGS_SCHEMA order
 
     def split_batches(batches):
@@ -120,14 +126,14 @@ def save_sharded(index: InvertedIndex, out_dir: str, n_shards: int) -> None:
     import json
 
     n_docs = int(index.meta["n_docs"])
-    dps = max(1, math.ceil(n_docs / n_shards))
+    dps = _dps(n_docs, n_shards)
     (shard_postings(index, n_shards)
      .repartition("shard_id")
      .sortWithinPartitions("term_id", F.desc("max_weight"))
      .write.mode("overwrite").partitionBy("shard_id")
      .parquet(os.path.join(out_dir, "postings")))
     (index.doc_dim
-     .withColumn("shard_id", (F.col("doc_idx") / F.lit(dps)).cast("int"))
+     .withColumn("shard_id", F.expr(f"CAST(doc_idx DIV {dps} AS INT)"))
      .write.mode("overwrite").partitionBy("shard_id")
      .parquet(os.path.join(out_dir, "doc_dim")))
     index.term_dict.write.mode("overwrite").parquet(
@@ -174,18 +180,15 @@ class ShardedServer:
     thin RPC fan-out — the merge below is the broker's exact logic."""
 
     def __init__(self, index: InvertedIndex, n_shards: int):
-        from .query import LocalIndexServer
+        from .query import LocalIndexServer, load_term_info
 
         self.n_shards = int(n_shards)
         sharded = shard_postings(index, n_shards).toPandas()
-        dps = max(1, math.ceil(int(index.meta["n_docs"]) / n_shards))
+        dps = _dps(int(index.meta["n_docs"]), n_shards)
         dd = index.doc_dim.select("doc_idx", "doc_id").toPandas()
         dd["shard_id"] = (dd["doc_idx"].astype(int) // dps).astype(int)
         # the term dictionary is global; load ONCE, share across shards
-        td = index.term_dict.select("term", "term_id").toPandas()
-        term_info = dict(
-            zip(td["term"].tolist(), td["term_id"].astype(int).tolist())
-        )
+        term_info = load_term_info(index.term_dict)
         self.servers: list[LocalIndexServer] = []
         for s in range(self.n_shards):
             srv = LocalIndexServer.__new__(LocalIndexServer)
@@ -206,16 +209,13 @@ class ShardedServer:
         each per-shard server lives on its own node."""
         import json
 
-        from .query import LocalIndexServer
+        from .query import LocalIndexServer, load_term_info
 
         with open(os.path.join(out_dir, "index_meta.json")) as f:
             meta = json.load(f)
         n_shards = int(meta["n_shards"])
-        td = spark.read.parquet(os.path.join(out_dir, "term_dict")).select(
-            "term", "term_id"
-        ).toPandas()
-        term_info = dict(
-            zip(td["term"].tolist(), td["term_id"].astype(int).tolist())
+        term_info = load_term_info(
+            spark.read.parquet(os.path.join(out_dir, "term_dict"))
         )
         self = cls.__new__(cls)
         self.n_shards = n_shards

@@ -54,23 +54,7 @@ def read_web_corpus(
     a Column predicate so it pushes down to partition pruning on a
     lang-partitioned table. Missing contract columns raise immediately
     with the full expected schema."""
-    if fmt == "auto":
-        fmt = "parquet" if ("/" in location or location.endswith(".parquet")) else "iceberg"
-    if fmt == "parquet":
-        df = spark.read.parquet(location)
-    elif fmt == "iceberg":
-        try:
-            df = spark.read.format("iceberg").load(location)
-        except Exception as e:  # no runtime jar / no catalog in this env
-            raise RuntimeError(
-                "iceberg read failed — an Iceberg runtime jar and catalog "
-                "config are required (spark.sql.catalog.*); in jar-less "
-                "environments pass fmt='parquet' with a path. "
-                f"Underlying error: {e}"
-            ) from e
-    else:
-        raise ValueError(f"unknown fmt {fmt!r} (iceberg|parquet|auto)")
-
+    df = read_table(spark, location, fmt)
     unknown = [c for c in columns if c not in WEB_CORPUS_SCHEMA]
     if unknown:
         raise ValueError(f"not contract columns: {unknown}")
@@ -87,6 +71,28 @@ def read_web_corpus(
     return df.select(
         *[F.col(c).cast(WEB_CORPUS_SCHEMA[c]).alias(c) for c in columns]
     )
+
+
+def read_table(spark: SparkSession, location: str, fmt: str = "auto") -> DataFrame:
+    """The raw format split without the contract projection — for callers
+    with non-contract column names (e.g. the build CLI's --id-col/
+    --text-col). ``auto``: paths (contain '/' or end in .parquet) →
+    parquet, anything else → iceberg identifier."""
+    if fmt == "auto":
+        fmt = "parquet" if ("/" in location or location.endswith(".parquet")) else "iceberg"
+    if fmt == "parquet":
+        return spark.read.parquet(location)
+    if fmt == "iceberg":
+        try:
+            return spark.read.format("iceberg").load(location)
+        except Exception as e:  # no runtime jar / no catalog in this env
+            raise RuntimeError(
+                "iceberg read failed — an Iceberg runtime jar and catalog "
+                "config are required (spark.sql.catalog.*); in jar-less "
+                "environments pass fmt='parquet' with a path. "
+                f"Underlying error: {e}"
+            ) from e
+    raise ValueError(f"unknown fmt {fmt!r} (iceberg|parquet|auto)")
 
 
 def corpus_docs(pages: DataFrame, prefer: str = "text") -> DataFrame:
