@@ -723,6 +723,80 @@ def minhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_clusters",
+    f"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id, unnest({_SHINGLES_DUCK}) AS term
+  FROM documents WHERE doc_id < {MINHASH_MAX_DOC}
+),
+dt AS (SELECT DISTINCT doc_id, term FROM sh),
+hi AS (SELECT unnest(range({N_MINHASH})) AS i),
+mh AS (
+  SELECT doc_id, i, min(md5(term || ':' || CAST(i AS VARCHAR))) AS h
+  FROM dt CROSS JOIN hi GROUP BY doc_id, i
+),
+bands AS (
+  SELECT doc_id, CAST(i // 2 AS INT) AS band,
+         md5(string_agg(h, '|' ORDER BY i)) AS bh
+  FROM mh GROUP BY doc_id, CAST(i // 2 AS INT)
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+  WHERE a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+reach AS (
+  SELECT a AS node, a AS label FROM edges
+  UNION
+  SELECT e.b AS node, r.label AS label FROM reach r JOIN edges e ON e.a = r.node
+),
+cc AS (SELECT node, min(label) AS cluster_id FROM reach GROUP BY node)
+SELECT d.doc_id,
+       CAST(coalesce(cc.cluster_id, d.doc_id) AS BIGINT) AS cluster_id,
+       CAST(CASE WHEN coalesce(cc.cluster_id, d.doc_id) = d.doc_id
+            THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM (SELECT doc_id FROM documents WHERE doc_id < {MINHASH_MAX_DOC}) d
+LEFT JOIN cc ON cc.node = d.doc_id
+""",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup cluster resolution — the last mile after candidate pairs: the
+    `minhash_band_pairs` pipeline (same md5/8-hash/2-row-band oracle pin)
+    feeds `operators.dedup.connected_components` (iterative
+    hash-partitioned min-label propagation, one shuffle per pass, exact
+    decimal convergence metric), then `dedup_drop_list` picks one
+    deterministic survivor per cluster (min doc_id) and emits the full
+    per-doc drop list — singletons keep themselves. The oracle computes
+    the same transitive closure with a recursive CTE. A training pipeline
+    keeps rows with keep=1."""
+    from .operators.dedup import (
+        connected_components,
+        dedup_drop_list,
+        minhash_lsh_candidates,
+    )
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < MINHASH_MAX_DOC)
+    pairs = minhash_lsh_candidates(
+        docs,
+        n_hashes=N_MINHASH,
+        rows_per_band=2,
+        hash_fn="md5",
+        bucket_cap=None,
+    )
+    cc = connected_components(pairs)
+    return dedup_drop_list(docs, cc).select(
+        "doc_id",
+        F.col("cluster_id").cast("bigint").alias("cluster_id"),
+        F.col("keep").cast("bigint").alias("keep"),
+    )
+
+
 SIMHASH_BITS = 16
 SIMHASH_MAX_DOC = 300
 

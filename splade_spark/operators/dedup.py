@@ -133,9 +133,13 @@ def minhash_lsh_candidates(
         mh.withColumn("band", (F.col("i") / rows_per_band).cast("int"))
         .groupBy("id", "band")
         .agg(bh.alias("bh"))
-        # persisted so the self-join reads computed bands once instead of
-        # recomputing the shingle -> minhash pipeline per join side
-        .persist()
+        # materialized eagerly so the self-join reads computed bands once
+        # instead of recomputing the shingle -> minhash pipeline per join
+        # side; localCheckpoint (vs persist) truncates lineage AND lets the
+        # ContextCleaner release the blocks when the result goes out of
+        # scope — repeated calls no longer accumulate session-lifetime
+        # cached plans
+        .localCheckpoint(eager=True)
     )
     if bucket_cap is not None:
         ok = (
@@ -156,3 +160,134 @@ def minhash_lsh_candidates(
         .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
         .distinct()
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    *,
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components over candidate pairs: ``(id, cluster_id)`` with
+    ``cluster_id`` = the minimum node id in the component.
+
+    Iterative hash-partitioned min-label propagation — no graph-library
+    dependency. Each iteration is ONE shuffle: propagate every node's
+    current label across its edges (a hash join on the edge endpoint),
+    then take the per-node min (partial aggregation runs map-side). Labels
+    only ever decrease, so ``sum(label)`` is a monotone convergence metric:
+    when it stops changing, no label changed and the fixpoint is reached
+    (one scalar agg per iteration, no change-detection join). Sums are
+    accumulated in DECIMAL(38,0) so the check is exact at any id range.
+
+    Each iteration's labels are localCheckpoint-ed: lineage would otherwise
+    grow linearly with iterations and re-execute the whole history on every
+    convergence check. Iterations needed = component diameter; dedup
+    clusters (boilerplate families, mirror sets) have small diameters, so
+    this converges in a handful of passes. Raises RuntimeError if
+    ``max_iter`` passes don't converge rather than returning a partial
+    clustering.
+
+    Only nodes that appear in ``pairs`` get a row — join the result back to
+    the corpus (see ``dedup_drop_list``) to give singletons their identity
+    cluster.
+    """
+    edges = (
+        pairs.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .union(pairs.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("a").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    metric = F.sum(F.col("label").cast("decimal(38,0)"))
+    prev = labels.agg(metric).first()[0]
+    for _ in range(max_iter):
+        nbr = edges.join(
+            labels.withColumnRenamed("id", "a"), "a"
+        ).select(F.col("b").alias("id"), "label")
+        new_labels = (
+            labels.unionByName(nbr)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        cur = new_labels.agg(metric).first()[0]
+        labels = new_labels
+        if cur == prev:
+            return labels.select("id", F.col("label").alias("cluster_id"))
+        prev = cur
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} iterations"
+    )
+
+
+def dedup_drop_list(
+    docs: DataFrame,
+    clusters: DataFrame,
+    *,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Resolve clusters to a per-doc drop list: ``(doc_id, cluster_id,
+    keep)``.
+
+    Every corpus doc gets a row: docs absent from ``clusters`` (singletons
+    — never a near-dup candidate) keep themselves with their own id as
+    cluster. The survivor rule is deterministic: the cluster's canonical
+    doc is its minimum ``doc_id`` (exactly the component label), so
+    ``keep = (doc_id == cluster_id)`` — one survivor per cluster,
+    reproducible across runs and cluster sizes. Downstream, the training
+    pipeline keeps ``keep`` rows and drops the rest.
+
+    The join is a plain hash equi-join on ``doc_id``; ``clusters`` (nodes
+    that appeared in a candidate pair) is usually a small fraction of the
+    corpus, so Catalyst/AQE broadcasts it when it fits.
+    """
+    c = clusters.withColumnRenamed("id", id_col)
+    return (
+        docs.select(id_col)
+        .join(c, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"),
+        )
+        .withColumn("keep", F.col(id_col) == F.col("cluster_id"))
+    )
+
+
+def deduplicate_corpus(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 128,
+    rows_per_band: int = 4,
+    shingle_n: int = 3,
+    hash_fn: str = "xxhash64",
+    bucket_cap: int | None = 1000,
+    max_iter: int = 50,
+) -> DataFrame:
+    """End-to-end near-dedup: candidates -> components -> drop list.
+
+    ``minhash_lsh_candidates`` (bucketed pair generation, never all-pairs)
+    -> ``connected_components`` (min-label propagation) ->
+    ``dedup_drop_list`` (deterministic min-id survivor per cluster).
+    Returns ``(doc_id, cluster_id, keep)`` covering every input doc.
+    """
+    pairs = minhash_lsh_candidates(
+        docs,
+        id_col=id_col,
+        text_col=text_col,
+        n_hashes=n_hashes,
+        rows_per_band=rows_per_band,
+        shingle_n=shingle_n,
+        hash_fn=hash_fn,
+        bucket_cap=bucket_cap,
+    )
+    cc = connected_components(pairs, max_iter=max_iter)
+    return dedup_drop_list(docs, cc, id_col=id_col)

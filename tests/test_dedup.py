@@ -108,3 +108,75 @@ def test_short_doc_empty_shingles(spark):
 
     n = df.select(F.size(shingles_col("text", n=3)).alias("n")).first()["n"]
     assert n == 0
+
+
+# ---------------------------------------------------------------------------
+# Cluster resolution: connected components + drop list
+# ---------------------------------------------------------------------------
+
+from splade_spark.operators.dedup import (  # noqa: E402
+    connected_components,
+    dedup_drop_list,
+    deduplicate_corpus,
+)
+
+
+def test_cc_transitive_chain(spark):
+    # A-B, B-C: C never directly paired with A, but transitive closure
+    # must put all three in one cluster labeled by the min id
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a int, doc_b int"
+    )
+    got = {r["id"]: r["cluster_id"] for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_cc_long_path_needs_many_iterations(spark):
+    # a 12-node path given in an order that defeats one-pass propagation:
+    # labels must walk the whole diameter
+    edges = [(i + 1, i) for i in range(11)]
+    pairs = spark.createDataFrame(edges, "doc_a int, doc_b int")
+    got = {r["id"]: r["cluster_id"] for r in connected_components(pairs).collect()}
+    assert got == {i: 0 for i in range(12)}
+
+
+def test_cc_max_iter_raises(spark):
+    pairs = spark.createDataFrame([(i + 1, i) for i in range(6)], "doc_a int, doc_b int")
+    with pytest.raises(RuntimeError):
+        connected_components(pairs, max_iter=2)
+
+
+def test_cc_empty_pairs(spark):
+    pairs = spark.createDataFrame([], "doc_a int, doc_b int")
+    assert connected_components(pairs).count() == 0
+
+
+def test_drop_list_singletons_keep_themselves(spark):
+    docs = spark.createDataFrame([(i,) for i in range(6)], "doc_id int")
+    pairs = spark.createDataFrame([(1, 2), (2, 4)], "doc_a int, doc_b int")
+    cc = connected_components(pairs)
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["keep"])
+        for r in dedup_drop_list(docs, cc).collect()
+    }
+    assert got == {
+        0: (0, True), 1: (1, True), 2: (1, False), 3: (3, True),
+        4: (1, False), 5: (5, True),
+    }
+    # exactly one survivor per cluster
+    survivors = [d for d, (c, k) in got.items() if k and c == 1]
+    assert survivors == [1]
+
+
+def test_deduplicate_corpus_end_to_end(docs_df):
+    # docs 1/2 exact dups, 3 near-dup of them; 4/5/6 unrelated singletons
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["keep"])
+        for r in deduplicate_corpus(
+            docs_df, n_hashes=32, rows_per_band=8, hash_fn="xxhash64"
+        ).collect()
+    }
+    assert got[1] == (1, True)
+    assert got[2] == (1, False)
+    assert got[4][1] and got[5][1] and got[6][1]
+    assert sum(1 for c, k in got.values() if k and c == 1) == 1
