@@ -632,18 +632,11 @@ FROM g
 """,
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup by content hash (hash-groupBy; map-side partial agg)."""
-    docs = _docs(spark, sf_dir)
-    g = docs.select(F.md5(F.lower("text")).alias("fp")).groupBy("fp").agg(
-        F.count(F.lit(1)).alias("c")
-    )
-    return g.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
-        F.coalesce(F.sum(F.when(F.col("c") > 1, 1).otherwise(0)), F.lit(0))
-        .cast("bigint").alias("n_dup_groups"),
-        F.coalesce(F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)), F.lit(0))
-        .cast("bigint").alias("n_dup_docs"),
-    )
+    """Exact dedup by content hash (hash-groupBy; map-side partial agg) —
+    `operators.textstats.exact_dup_stats` pinned at normalized=True."""
+    from .operators.textstats import exact_dup_stats
+
+    return exact_dup_stats(_docs(spark, sf_dir))
 
 
 @register(
@@ -654,12 +647,12 @@ FROM documents WHERE doc_id < 100
 """,
 )
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Normalized document fingerprint (tokenize → canonical join → md5)."""
+    """Normalized document fingerprint (tokenize → canonical join → md5)
+    — `operators.textstats.fingerprint_col`."""
+    from .operators.textstats import fingerprint_col
+
     docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 100)
-    return docs.select(
-        "doc_id",
-        F.md5(F.array_join(tokens_col("text"), " ")).alias("fp"),
-    )
+    return docs.select("doc_id", fingerprint_col("text").alias("fp"))
 
 
 N_MINHASH = 8
@@ -835,34 +828,14 @@ FROM sims
 )
 def simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup fingerprint: per-token md5-derived 16-bit hash,
-    tf-weighted bit votes, docs sharing a simhash form a dup group. All
-    JVM expressions; at corpus scale the groupBys are plain partial-agg
-    shuffles keyed by (doc, bit) then simhash."""
+    tf-weighted bit votes, docs sharing a simhash form a dup group —
+    `operators.textstats.simhash_dup_groups` pinned at bits=16. At corpus
+    scale the groupBys are partial-agg shuffles keyed by (doc, bit) then
+    simhash."""
+    from .operators.textstats import simhash_dup_groups
+
     docs = _docs(spark, sf_dir).filter(F.col("doc_id") < SIMHASH_MAX_DOC)
-    tf = (
-        docs.select("doc_id", F.explode(tokens_col("text")).alias("term"))
-        .groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    )
-    hv = F.conv(F.substring(F.md5("term"), 1, 4), 16, 10).cast("long")
-    bits = tf.select(
-        "doc_id", "tf", hv.alias("hv"),
-        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("j"),
-    )
-    bit = (F.floor(F.col("hv") / F.pow(F.lit(2.0), F.col("j"))).cast("long") % 2)
-    votes = bits.groupBy("doc_id", "j").agg(
-        F.sum(F.col("tf") * (2 * bit - 1)).alias("v")
-    )
-    sims = votes.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("v") > 0, F.pow(F.lit(2.0), F.col("j")).cast("long"))
-            .otherwise(0)
-        ).cast("bigint").alias("simhash")
-    )
-    w = Window.partitionBy("simhash")
-    return sims.select(
-        "doc_id", "simhash",
-        F.count(F.lit(1)).over(w).cast("bigint").alias("group_size"),
-    )
+    return simhash_dup_groups(docs, bits=SIMHASH_BITS)
 
 
 # production-width simhash: 60 bits (15 md5 hex nibbles — stays inside
@@ -905,35 +878,14 @@ FROM sims
 )
 def simhash_wide_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit SimHash (the production-width variant of simhash_groups —
-    VERDICT r1 noted 16 bits is toy-width): per-token 60-bit md5-derived
-    hash, tf-weighted bit votes, int64 simhash. Bit extraction uses
-    integer division by 2^j (both sides) because double math drops bits
-    past 2^53. Same (doc, bit) → simhash groupBy shuffle shape."""
+    VERDICT r1 noted 16 bits is toy-width) —
+    `operators.textstats.simhash_dup_groups` at its default bits=60. Bit
+    extraction uses integer division by 2^j (both sides) because double
+    math drops bits past 2^53. Same (doc, bit) → simhash groupBy shape."""
+    from .operators.textstats import simhash_dup_groups
+
     docs = _docs(spark, sf_dir).filter(F.col("doc_id") < SIMHASH_WIDE_MAX_DOC)
-    tf = (
-        docs.select("doc_id", F.explode(tokens_col("text")).alias("term"))
-        .groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    )
-    hv = F.conv(F.substring(F.md5("term"), 1, 15), 16, 10).cast("long")
-    bits = tf.select(
-        "doc_id", "tf", hv.alias("hv"),
-        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_WIDE_BITS - 1))).alias("j"),
-    ).withColumn("p2", F.pow(F.lit(2.0), F.col("j")).cast("long"))
-    bit = F.expr("hv div p2") % 2
-    votes = bits.groupBy("doc_id", "j").agg(
-        F.sum(F.col("tf") * (2 * bit - 1)).alias("v")
-    )
-    sims = votes.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("v") > 0, F.pow(F.lit(2.0), F.col("j")).cast("long"))
-            .otherwise(0)
-        ).cast("bigint").alias("simhash")
-    )
-    w = Window.partitionBy("simhash")
-    return sims.select(
-        "doc_id", "simhash",
-        F.count(F.lit(1)).over(w).cast("bigint").alias("group_size"),
-    )
+    return simhash_dup_groups(docs, bits=SIMHASH_WIDE_BITS)
 
 
 JACCARD_MAX_DOC = 150
@@ -1115,50 +1067,19 @@ FROM ranked WHERE rank <= {LSH_K}
 )
 def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate NN: sign-bits of the first 8 dims form the
-    bucket; candidates are scored only within the query's bucket. The
-    scale path for ANN — the bucket join replaces the all-pairs cross
-    join with an equi-join Spark shuffles by bucket."""
+    bucket; candidates are scored only within the query's bucket —
+    `operators.ann.lsh_topk` single-probe. The scale path for ANN: the
+    bucket join replaces the all-pairs cross join with an equi-join Spark
+    shuffles by bucket."""
+    from .operators.ann import lsh_topk
+
     emb = _t(spark, sf_dir, "embeddings")
-
-    def dot(x, y):
-        return F.aggregate(
-            F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
-            F.lit(0.0), lambda acc, p: acc + p,
-        )
-
-    bucket = F.aggregate(
-        F.sequence(F.lit(0), F.lit(LSH_DIMS - 1)),
-        F.lit(0).cast("long"),
-        lambda acc, i: acc
-        + F.when(
-            F.element_at(F.col("embedding"), i + 1) > 0,
-            F.pow(F.lit(2.0), i).cast("long"),
-        ).otherwise(F.lit(0).cast("long")),
-    )
-    e = emb.select(
-        "vec_id", "embedding", bucket.alias("bucket"),
-        F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
-    )
-    q = e.filter(F.col("vec_id") < LSH_NQ).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"),
-        F.col("bucket").alias("qb"), F.col("nrm").alias("qn"),
-    )
-    cand = e.join(
-        F.broadcast(q),
-        (F.col("bucket") == F.col("qb")) & (F.col("vec_id") != F.col("query_id")),
-    )
-    cos = cand.select(
-        "query_id", "vec_id",
-        (dot(F.col("qe"), F.col("embedding")) / (F.col("qn") * F.col("nrm"))).alias("c"),
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("c"), F.asc("vec_id"))
-    return (
-        cos.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= LSH_K)
-        .select(
-            "query_id", F.col("rank").cast("int").alias("rank"), "vec_id",
-            F.round(F.col("c") * 1e6).cast("bigint").alias("cos_micro"),
-        )
+    return lsh_topk(
+        emb, F.col("vec_id") < LSH_NQ, k=LSH_K, n_bits=LSH_DIMS,
+        multiprobe=False,
+    ).select(
+        "query_id", "rank", "vec_id",
+        F.round(F.col("cos") * 1e6).cast("bigint").alias("cos_micro"),
     )
 
 
@@ -1217,62 +1138,19 @@ FROM ranked WHERE rank <= {LSH_K}
 def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe LSH ANN: each query probes its own sign-bit bucket AND
     every hamming-1 neighbor bucket (one flipped hyperplane bit) — the
-    standard recall fix for single-probe LSH (a near neighbor that falls
-    one hyperplane to the other side is found in the flipped bucket).
-    Candidates stay an equi-join on the probed bucket id: the probe list
-    is query-side (9 rows per query), so the scale shape is unchanged —
-    no cross join, candidates shuffled by bucket."""
+    standard recall fix for single-probe LSH; `operators.ann.lsh_topk`
+    with multiprobe=True. The probe list is query-side (9 rows per
+    query), so the scale shape is unchanged — no cross join, candidates
+    shuffled by bucket."""
+    from .operators.ann import lsh_topk
+
     emb = _t(spark, sf_dir, "embeddings")
-
-    def dot(x, y):
-        return F.aggregate(
-            F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
-            F.lit(0.0), lambda acc, p: acc + p,
-        )
-
-    bucket = F.aggregate(
-        F.sequence(F.lit(0), F.lit(LSH_DIMS - 1)),
-        F.lit(0).cast("long"),
-        lambda acc, i: acc
-        + F.when(
-            F.element_at(F.col("embedding"), i + 1) > 0,
-            F.pow(F.lit(2.0), i).cast("long"),
-        ).otherwise(F.lit(0).cast("long")),
-    )
-    e = emb.select(
-        "vec_id", "embedding", bucket.alias("bucket"),
-        F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
-    )
-    q = e.filter(F.col("vec_id") < LSH_NQ).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"),
-        F.col("bucket").alias("qb"), F.col("nrm").alias("qn"),
-    )
-    probes = q.select(
-        "query_id", "qe", "qn", "qb",
-        F.explode(F.sequence(F.lit(0), F.lit(LSH_PROBES))).alias("j"),
+    return lsh_topk(
+        emb, F.col("vec_id") < LSH_NQ, k=LSH_K, n_bits=LSH_DIMS,
+        multiprobe=True,
     ).select(
-        "query_id", "qe", "qn",
-        F.when(F.col("j") == 0, F.col("qb"))
-        .otherwise(
-            F.col("qb").bitwiseXOR(F.pow(F.lit(2.0), F.col("j") - 1).cast("long"))
-        ).alias("probe"),
-    )
-    cand = e.join(
-        F.broadcast(probes),
-        (F.col("bucket") == F.col("probe")) & (F.col("vec_id") != F.col("query_id")),
-    )
-    cos = cand.select(
-        "query_id", "vec_id",
-        (dot(F.col("qe"), F.col("embedding")) / (F.col("qn") * F.col("nrm"))).alias("c"),
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("c"), F.asc("vec_id"))
-    return (
-        cos.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= LSH_K)
-        .select(
-            "query_id", F.col("rank").cast("int").alias("rank"), "vec_id",
-            F.round(F.col("c") * 1e6).cast("bigint").alias("cos_micro"),
-        )
+        "query_id", "rank", "vec_id",
+        F.round(F.col("cos") * 1e6).cast("bigint").alias("cos_micro"),
     )
 
 
@@ -1292,33 +1170,32 @@ WITH t AS (
 )
 SELECT doc_id,
        CAST(len(toks) AS BIGINT) AS n_tokens,
-       CAST(round(CASE WHEN len(toks) > 0
-            THEN list_sum(list_transform(toks, x -> len(x))) * 1000.0 / len(toks)
-            ELSE 0 END) AS BIGINT) AS mean_tok_len_milli,
-       CAST(round(CASE WHEN len(toks) > 0
-            THEN len(list_filter(toks, x -> x IN ({_SW_SQL}))) * 1000.0 / len(toks)
-            ELSE 0 END) AS BIGINT) AS stopword_ratio_milli,
+       CAST(round((CASE WHEN len(toks) > 0
+            THEN list_sum(list_transform(toks, x -> len(x))) * 1.0 / len(toks)
+            ELSE 0 END) * 1000) AS BIGINT) AS mean_tok_len_milli,
+       CAST(round((CASE WHEN len(toks) > 0
+            THEN len(list_filter(toks, x -> x IN ({_SW_SQL}))) * 1.0 / len(toks)
+            ELSE 0 END) * 1000) AS BIGINT) AS stopword_ratio_milli,
        CAST(length(text) AS BIGINT) AS n_chars
 FROM t
 """,
 )
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality scoring: length / stopword-ratio features (F.* only)."""
+    """Quality scoring: length / stopword-ratio features (F.* only) —
+    `operators.textstats.text_quality_features` with the ratio doubles
+    rounded to milli BIGINTs for the hash gate."""
+    from .operators.textstats import text_quality_features
+
     docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
-    t = docs.select("doc_id", "text", tokens_col("text").alias("toks"))
-    n = F.size("toks")
-    tok_len_sum = F.aggregate(
-        F.transform("toks", lambda x: F.length(x)), F.lit(0), lambda acc, x: acc + x
-    )
-    sw = F.size(F.filter("toks", lambda x: x.isin(*STOPWORDS)))
-    return t.select(
+    feats = text_quality_features(docs, stopwords=STOPWORDS)
+    return feats.select(
         "doc_id",
-        n.cast("bigint").alias("n_tokens"),
-        F.when(n > 0, F.round(tok_len_sum * 1000.0 / n)).otherwise(0)
-        .cast("bigint").alias("mean_tok_len_milli"),
-        F.when(n > 0, F.round(sw * 1000.0 / n)).otherwise(0)
-        .cast("bigint").alias("stopword_ratio_milli"),
-        F.length("text").cast("bigint").alias("n_chars"),
+        "n_tokens",
+        F.round(F.col("mean_tok_len") * 1000).cast("bigint")
+        .alias("mean_tok_len_milli"),
+        F.round(F.col("stopword_ratio") * 1000).cast("bigint")
+        .alias("stopword_ratio_milli"),
+        "n_chars",
     )
 
 
@@ -1333,15 +1210,12 @@ FROM documents WHERE doc_id < 200
 """,
 )
 def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting, regex + whitespace variants (F1)."""
+    """Token counting, regex + whitespace variants (F1) —
+    `operators.textstats.token_count_features`."""
+    from .operators.textstats import token_count_features
+
     docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
-    toks = tokens_col("text")
-    return docs.select(
-        "doc_id",
-        F.size(toks).cast("bigint").alias("n_tokens"),
-        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct"),
-        F.size(F.split(F.trim("text"), r"\s+")).cast("bigint").alias("n_ws_tokens"),
-    )
+    return token_count_features(docs)
 
 
 @register(
@@ -1362,15 +1236,16 @@ FROM s
 """,
 )
 def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """n-gram/stopword language-ID heuristic (threshold: ≥2% EN stopwords)."""
-    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
-    t = docs.select("doc_id", "lang", tokens_col("text").alias("toks"))
-    hits = F.size(F.filter("toks", lambda x: x.isin(*STOPWORDS)))
-    n = F.size("toks")
-    return t.select(
-        "doc_id",
-        F.col("lang").alias("labeled_lang"),
-        F.when((n > 0) & (hits * 100 >= n * 2), "en").otherwise("unknown").alias("pred_lang"),
+    """n-gram/stopword language-ID heuristic (threshold: ≥2% EN stopwords)
+    — `operators.textstats.lang_id` carrying the ground-truth label."""
+    from .operators.textstats import lang_id
+
+    docs = (
+        _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+        .withColumn("labeled_lang", F.col("lang"))
+    )
+    return lang_id(
+        docs, stopwords=STOPWORDS, min_hit_pct=2, passthrough=("labeled_lang",)
     )
 
 
@@ -1479,37 +1354,15 @@ FROM ranked WHERE rank <= {ANN_K}
 """,
 )
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-k ANN baseline (F5 dot product, W1 top-k).
-    JVM-side: zip_with + aggregate, no Python."""
+    """Brute-force cosine top-k ANN baseline (F5 dot product, W1 top-k) —
+    `operators.ann.cosine_topk`, the exact recall oracle for the
+    approximate paths. JVM-side: zip_with + aggregate, no Python."""
+    from .operators.ann import cosine_topk
+
     emb = _t(spark, sf_dir, "embeddings")
-
-    def dot(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
-    norm = F.sqrt(dot(F.col("embedding"), F.col("embedding")))
-    e = emb.select("vec_id", "embedding", norm.alias("nrm"))
-    q = e.filter(F.col("vec_id") < ANN_NQ).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("qe"),
-        F.col("nrm").alias("qn"),
-    )
-    pairs = e.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("query_id"))
-    cos = pairs.select(
-        "query_id", "vec_id",
-        (dot(F.col("qe"), F.col("embedding")) / (F.col("qn") * F.col("nrm"))).alias("c"),
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("c"), F.asc("vec_id"))
-    return (
-        cos.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= ANN_K)
-        .select(
-            "query_id", F.col("rank").cast("int").alias("rank"), "vec_id",
-            F.round(F.col("c") * 1e6).cast("bigint").alias("cos_micro"),
-        )
+    return cosine_topk(emb, F.col("vec_id") < ANN_NQ, k=ANN_K).select(
+        "query_id", "rank", "vec_id",
+        F.round(F.col("cos") * 1e6).cast("bigint").alias("cos_micro"),
     )
 
 
@@ -1585,55 +1438,27 @@ FROM ranked WHERE rank <= {IVF_K}
 """,
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN top-k: a deterministic centroid subsample is
-    BROADCAST; every vector is assigned to its nearest centroid map-side
-    (no shuffle — the IVF coarse quantizer shape); queries probe their
-    ``nprobe`` nearest centroid lists and score exact cosine only within
-    the probed lists. At scale: centroid count is O(√N), the assignment
-    is a broadcast nested loop that AQE keeps map-side, and the candidate
-    join shuffles by centroid id — never all-pairs."""
-    from .functions.vector import dot, l2_norm
+    """IVF-style ANN top-k — `operators.ann.ivf_topk` with a deterministic
+    centroid subsample as the coarse quantizer (the oracle pin; production
+    uses `operators.ann.train_kmeans_centroids`, recall measured in
+    BENCH.md). Centroids are BROADCAST; every vector is assigned to its
+    nearest centroid map-side (no shuffle — the IVF coarse quantizer
+    shape); queries probe their ``nprobe`` nearest centroid lists and
+    score exact cosine only within the probed lists. At scale: centroid
+    count is O(√N), the assignment is a broadcast nested loop that AQE
+    keeps map-side, and the candidate join shuffles by centroid id —
+    never all-pairs."""
+    from .operators.ann import ivf_topk
 
     e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    e = e.withColumn("nrm", l2_norm("embedding"))
     cent = e.filter(F.col("vec_id") % IVF_CENT_MOD == 0).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"),
-        F.col("nrm").alias("cn"),
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
     )
-    acos = e.crossJoin(F.broadcast(cent)).select(
-        "vec_id", "cid", "nrm",
-        (dot("embedding", "ce") / (F.col("nrm") * F.col("cn"))).alias("c"),
-    )
-    wv = Window.partitionBy("vec_id").orderBy(F.desc("c"), F.asc("cid"))
-    ranked_c = acos.withColumn("rn", F.row_number().over(wv))
-    assign = ranked_c.filter(F.col("rn") == 1).select("vec_id", "cid")
-    probes = (
-        ranked_c.filter((F.col("vec_id") < IVF_NQ) & (F.col("rn") <= IVF_NPROBE))
-        .select(F.col("vec_id").alias("query_id"), "cid")
-    )
-    cand = probes.join(assign, "cid").filter(
-        F.col("vec_id") != F.col("query_id")
-    ).select("query_id", "vec_id")
-    q = e.select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"),
-        F.col("nrm").alias("qn"),
-    )
-    cos2 = (
-        cand.join(F.broadcast(q), "query_id")
-        .join(e, "vec_id")
-        .select(
-            "query_id", "vec_id",
-            (dot("qe", "embedding") / (F.col("qn") * F.col("nrm"))).alias("c"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("c"), F.asc("vec_id"))
-    return (
-        cos2.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= IVF_K)
-        .select(
-            "query_id", F.col("rank").cast("int").alias("rank"), "vec_id",
-            F.round(F.col("c") * 1e6).cast("bigint").alias("cos_micro"),
-        )
+    return ivf_topk(
+        e, F.col("vec_id") < IVF_NQ, cent, k=IVF_K, nprobe=IVF_NPROBE
+    ).select(
+        "query_id", "rank", "vec_id",
+        F.round(F.col("cos") * 1e6).cast("bigint").alias("cos_micro"),
     )
 
 

@@ -1,0 +1,199 @@
+"""Text-analysis operators for training-data curation: quality scoring,
+token counting, language-ID, exact dedup, fingerprints, SimHash.
+
+The reference (`hyukkyukang/SPLADE`) stops at retrieval; these are the
+corpus-hygiene operators an LLM-data pipeline runs over the same
+`documents` table (brief: text analysis as first-class components). Every
+function here is a pure Catalyst Column pipeline over the shared
+tokenizer (`functions.tokenize.tokens_col`) — no Python UDFs, so the
+whole stage codegens and scales with the scan.
+
+Ratio outputs are raw doubles; the driver-gated entries round them to
+``*_milli`` BIGINTs for hash-stable cross-engine comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from splade_spark.functions.tokenize import tokens_col
+
+# default English stopword probe set shared by quality scoring and lang-ID
+DEFAULT_STOPWORDS: tuple[str, ...] = ("the", "a", "of", "to", "and", "in", "is")
+
+
+def text_quality_features(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stopwords: tuple[str, ...] = DEFAULT_STOPWORDS,
+) -> DataFrame:
+    """Per-doc quality features: (id, n_tokens, mean_tok_len,
+    stopword_ratio, n_chars).
+
+    Length, mean token length, and stopword density are the classic cheap
+    quality filters (boilerplate and gibberish sit at the distribution
+    tails). One projection, no shuffle.
+    """
+    t = docs.select(id_col, text_col, tokens_col(text_col).alias("toks"))
+    n = F.size("toks")
+    tok_len_sum = F.aggregate(
+        F.transform("toks", lambda x: F.length(x)), F.lit(0), lambda acc, x: acc + x
+    )
+    sw = F.size(F.filter("toks", lambda x: x.isin(*stopwords)))
+    return t.select(
+        id_col,
+        n.cast("bigint").alias("n_tokens"),
+        F.when(n > 0, tok_len_sum / n).otherwise(0.0).alias("mean_tok_len"),
+        F.when(n > 0, sw / n).otherwise(0.0).alias("stopword_ratio"),
+        F.length(text_col).cast("bigint").alias("n_chars"),
+    )
+
+
+def token_count_features(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, n_tokens, n_distinct, n_ws_tokens): regex-tokenizer counts
+    plus the raw whitespace split (the two standard budget estimators)."""
+    toks = tokens_col(text_col)
+    return docs.select(
+        id_col,
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct"),
+        F.size(F.split(F.trim(text_col), r"\s+")).cast("bigint").alias("n_ws_tokens"),
+    )
+
+
+def lang_id(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stopwords: tuple[str, ...] = DEFAULT_STOPWORDS,
+    min_hit_pct: int = 2,
+    lang: str = "en",
+    passthrough: tuple[str, ...] = (),
+) -> DataFrame:
+    """Stopword-probe language ID: (id, *passthrough, pred_lang).
+
+    Predicts ``lang`` when at least ``min_hit_pct`` percent of tokens are
+    probe stopwords — integer arithmetic only (hits*100 >= n*pct), so the
+    decision is exact and portable. ``passthrough`` columns (e.g. a
+    ground-truth label) are carried along without a join.
+    """
+    t = docs.select(id_col, *passthrough, tokens_col(text_col).alias("toks"))
+    hits = F.size(F.filter("toks", lambda x: x.isin(*stopwords)))
+    n = F.size("toks")
+    return t.select(
+        id_col,
+        *passthrough,
+        F.when((n > 0) & (hits * 100 >= n * min_hit_pct), lang)
+        .otherwise("unknown")
+        .alias("pred_lang"),
+    )
+
+
+def exact_duplicate_groups(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    normalize: bool = True,
+) -> DataFrame:
+    """(fp, n_docs): content-hash groups — the exact-dedup primitive.
+
+    md5 over (optionally lowercased) text, then a hash groupBy whose
+    partial aggregation runs map-side: the shuffle carries one row per
+    distinct fingerprint, not per doc.
+    """
+    key = F.lower(text_col) if normalize else F.col(text_col)
+    return (
+        docs.select(F.md5(key).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def exact_dup_stats(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    normalize: bool = True,
+) -> DataFrame:
+    """One-row corpus dedup summary: (n_groups, n_dup_groups, n_dup_docs)."""
+    g = exact_duplicate_groups(docs, text_col=text_col, normalize=normalize)
+    c = F.col("n_docs")
+    return g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.coalesce(F.sum(F.when(c > 1, 1).otherwise(0)), F.lit(0))
+        .cast("bigint").alias("n_dup_groups"),
+        F.coalesce(F.sum(F.when(c > 1, c).otherwise(0)), F.lit(0))
+        .cast("bigint").alias("n_dup_docs"),
+    )
+
+
+def fingerprint_col(text_col: Column | str) -> Column:
+    """Normalized document fingerprint: md5 over the canonical token join
+    — robust to whitespace/punctuation noise, unlike raw-text hashing."""
+    return F.md5(F.array_join(tokens_col(text_col), " "))
+
+
+def simhash(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 60,
+) -> DataFrame:
+    """(id, simhash): tf-weighted SimHash fingerprint, up to 60 bits.
+
+    Per-token hash = the first bits/4 md5 nibbles (deterministic and
+    portable to any engine with md5); each bit takes a +tf/-tf vote per
+    token and the fingerprint sets bits with positive totals. Bit
+    extraction uses INTEGER division by 2^j — double math drops bits past
+    2^53, which caps the portable width at 60 (15 nibbles stays inside a
+    signed int64). Shuffle shape: (doc, bit) partial-agg then per-doc agg.
+    """
+    if bits % 4 != 0 or not 0 < bits <= 60:
+        raise ValueError(f"bits must be a multiple of 4 in (0, 60], got {bits}")
+    tf = (
+        docs.select(id_col, F.explode(tokens_col(text_col)).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    hv = F.conv(F.substring(F.md5("term"), 1, bits // 4), 16, 10).cast("long")
+    bits_df = tf.select(
+        id_col, "tf", hv.alias("hv"),
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("j"),
+    ).withColumn("p2", F.pow(F.lit(2.0), F.col("j")).cast("long"))
+    bit = F.expr("hv div p2") % 2
+    votes = bits_df.groupBy(id_col, "j").agg(
+        F.sum(F.col("tf") * (2 * bit - 1)).alias("v")
+    )
+    return votes.groupBy(id_col).agg(
+        F.sum(
+            F.when(F.col("v") > 0, F.pow(F.lit(2.0), F.col("j")).cast("long"))
+            .otherwise(0)
+        ).cast("bigint").alias("simhash")
+    )
+
+
+def simhash_dup_groups(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 60,
+) -> DataFrame:
+    """(id, simhash, group_size): docs sharing a fingerprint form a dup
+    group — exact-collision grouping, one window over the fingerprint."""
+    sims = simhash(docs, id_col=id_col, text_col=text_col, bits=bits)
+    w = Window.partitionBy("simhash")
+    return sims.select(
+        id_col, "simhash",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("group_size"),
+    )

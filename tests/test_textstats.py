@@ -1,0 +1,103 @@
+"""Text-analysis operator library (operators/textstats.py).
+
+The driver-gated entries (text_quality / token_counts / lang_id_heuristic /
+dedup_exact / doc_fingerprint / simhash_groups / simhash_wide_groups) pin
+these operators at their oracle operating points; these tests exercise the
+parameterized surface.
+"""
+
+import pytest
+
+from splade_spark.operators.textstats import (
+    exact_dup_stats,
+    exact_duplicate_groups,
+    fingerprint_col,
+    lang_id,
+    simhash,
+    simhash_dup_groups,
+    text_quality_features,
+    token_count_features,
+)
+
+DOCS = [
+    (1, "the cat and the dog", "en"),
+    (2, "THE CAT AND THE DOG", "en"),  # case-normalized dup of 1
+    (3, "aaaa bbbb cccc dddd", "xx"),  # zero stopwords
+    (4, "", "xx"),                      # empty text
+    (5, "the cat and the dog", "en"),  # exact dup of 1
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id int, text string, lang string")
+
+
+def test_quality_features(docs_df):
+    got = {r["doc_id"]: r for r in text_quality_features(docs_df).collect()}
+    assert got[1]["n_tokens"] == 5
+    assert got[1]["stopword_ratio"] == pytest.approx(3 / 5)  # the, and, the
+    assert got[1]["mean_tok_len"] == pytest.approx(15 / 5)
+    assert got[4]["n_tokens"] == 0
+    assert got[4]["mean_tok_len"] == 0.0 and got[4]["stopword_ratio"] == 0.0
+    assert got[3]["stopword_ratio"] == 0.0
+
+
+def test_token_counts(docs_df):
+    got = {r["doc_id"]: r for r in token_count_features(docs_df).collect()}
+    assert got[1]["n_tokens"] == 5
+    assert got[1]["n_distinct"] == 4  # 'the' twice
+    assert got[1]["n_ws_tokens"] == 5
+
+
+def test_lang_id_threshold(docs_df):
+    got = {r["doc_id"]: r["pred_lang"] for r in lang_id(docs_df).collect()}
+    assert got[1] == "en" and got[3] == "unknown" and got[4] == "unknown"
+    strict = {
+        r["doc_id"]: r["pred_lang"]
+        for r in lang_id(docs_df, min_hit_pct=70).collect()
+    }
+    assert strict[1] == "unknown"  # 60% < 70%
+
+
+def test_exact_dup_groups_and_stats(docs_df):
+    # normalized: docs 1/2/5 share a fingerprint
+    groups = {r["n_docs"] for r in exact_duplicate_groups(docs_df).collect()}
+    assert 3 in groups
+    s = exact_dup_stats(docs_df).first()
+    assert (s["n_groups"], s["n_dup_groups"], s["n_dup_docs"]) == (3, 1, 3)
+    # unnormalized: only 1/5 collide
+    s2 = exact_dup_stats(docs_df, normalize=False).first()
+    assert (s2["n_groups"], s2["n_dup_groups"], s2["n_dup_docs"]) == (4, 1, 2)
+
+
+def test_fingerprint_ignores_case_and_punct(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello, World!"), (2, "hello   world"), (3, "hello worlds")],
+        "doc_id int, text string",
+    )
+    fps = {r["doc_id"]: r["fp"] for r in df.select("doc_id", fingerprint_col("text").alias("fp")).collect()}
+    assert fps[1] == fps[2] != fps[3]
+
+
+def test_simhash_widths_and_validation(docs_df):
+    h16 = {r["doc_id"]: r["simhash"] for r in simhash(docs_df, bits=16).collect()}
+    h60 = {r["doc_id"]: r["simhash"] for r in simhash(docs_df, bits=60).collect()}
+    assert all(0 <= v < 2**16 for v in h16.values())
+    assert all(0 <= v < 2**60 for v in h60.values())
+    # case-normalized dups tokenize identically -> identical fingerprints
+    assert h60[1] == h60[2] == h60[5]
+    assert h60[1] != h60[3]
+    with pytest.raises(ValueError):
+        simhash(docs_df, bits=64)
+    with pytest.raises(ValueError):
+        simhash(docs_df, bits=10)
+
+
+def test_simhash_group_sizes(docs_df):
+    got = {
+        r["doc_id"]: r["group_size"]
+        for r in simhash_dup_groups(docs_df, bits=60).collect()
+    }
+    assert got[1] == got[2] == got[5] == 3
+    assert got[3] == 1
