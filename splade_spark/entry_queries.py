@@ -550,6 +550,34 @@ def bm25_topk_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("bm25_topk_sharded_dist", _BM25_SQL_DUCK_RANKONLY)
+def bm25_topk_sharded_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Spark retrieval over the SAVED sharded layout — the
+    batch-scoring shape a cluster runs (vs the resident broker of
+    bm25_topk_sharded): build → save_sharded(4) → load_sharded_all (all
+    shard partitions as one handle, boundary-split blocks self-contained)
+    → block-max WAND retrieve across every shard's blocks. Must be
+    rank-identical to the unsharded engine, the broker, and the DuckDB
+    BM25 oracle."""
+    import tempfile
+
+    from .operators.indexing import build_index
+    from .operators.sharding import load_sharded_all, save_sharded
+
+    out = tempfile.mkdtemp(prefix="splade_sharded_dist_")
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    save_sharded(build_index(docs, id_col="doc_id", text_col="text"), out, 4)
+    idx = load_sharded_all(spark, out)
+    from .operators.query import retrieve
+
+    queries = spark.createDataFrame(BM25_QUERIES, "query_id string, text string")
+    res = retrieve(idx, queries, k=TOPK, strategy="wand")
+    return res.select(
+        "query_id", F.col("rank").cast("int").alias("rank"),
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+    )
+
+
 _MOMENTS_SQL = f"""
 WITH docsM AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
 {expand_sql('docsM', 'doc_id', 'text')},

@@ -167,6 +167,38 @@ def load_shard(spark: SparkSession, out_dir: str, shard_id: int) -> InvertedInde
     )
 
 
+def load_sharded_all(spark: SparkSession, out_dir: str) -> InvertedIndex:
+    """Distributed BATCH retrieval over a ``save_sharded`` layout: all
+    shards as one handle.
+
+    The serving tier (`ShardedServer.from_saved`) answers interactive
+    queries with one resident process per shard; this is the other
+    consumption shape — the cluster-wide batch scoring job (the reference
+    analogue: the index stage reading the saved layout,
+    /root/reference/src/indexing/sparse_index.py:502-536). Postings are
+    the union of every shard partition with ``shard_id`` dropped: a
+    boundary-split block row is a self-contained block (own n_postings /
+    min_doc / max_doc / max_weight and re-encoded payload), and both the
+    WAND kernel and the exhaustive plan are agnostic to how postings are
+    cut into blocks — so `retrieve()` on this handle is rank-identical to
+    the unsharded index and to the broker. The scan stays
+    partition-parallel across the shard directories, and the query-term
+    ``isin`` pushdown still prunes row groups inside each shard (the
+    layout is term_id-sorted within partitions)."""
+    import json
+
+    with open(os.path.join(out_dir, "index_meta.json")) as f:
+        meta = json.load(f)
+    return InvertedIndex(
+        postings=spark.read.parquet(
+            os.path.join(out_dir, "postings")).drop("shard_id"),
+        term_dict=spark.read.parquet(os.path.join(out_dir, "term_dict")),
+        doc_dim=spark.read.parquet(
+            os.path.join(out_dir, "doc_dim")).drop("shard_id"),
+        meta=dict(meta),
+    )
+
+
 class ShardedServer:
     """Broker over S per-shard :class:`LocalIndexServer` handles: fan a
     query out to every shard, merge per-shard top-k by the global tie

@@ -202,3 +202,33 @@ def _bow(text, srv):
         if t in srv.term_info and t not in srv.exclude:
             qtf[t] = qtf.get(t, 0.0) + 1.0
     return qtf
+
+
+def test_distributed_retrieve_over_saved_shards(spark, index, corpus):
+    """load_sharded_all: the Spark wand/exhaustive strategies run across
+    ALL shards of a save_sharded layout and must be rank-identical to the
+    unsharded index — boundary-split blocks are self-contained, so the
+    kernels see just 'more blocks', never different postings."""
+    _, queries = corpus
+    from splade_spark.operators.sharding import load_sharded_all
+
+    out = tempfile.mkdtemp(prefix="splade_sharded_dist_")
+    save_sharded(index, out, n_shards=3)
+    dist = load_sharded_all(spark, out)
+
+    qdf = spark.createDataFrame(queries[["query_id", "text"]])
+
+    def ranks(df):
+        return sorted(
+            (r["query_id"], r["rank"], r["doc_id"]) for r in df.collect()
+        )
+
+    base = ranks(retrieve(index, qdf, k=K, strategy="wand"))
+    assert ranks(retrieve(dist, qdf, k=K, strategy="wand")) == base
+    assert ranks(retrieve(dist, qdf, k=K, strategy="exhaustive")) == base
+
+    # the handle reads every shard's partition directory (batch scoring
+    # touches the whole corpus — no shard is skipped)
+    files = dist.postings.inputFiles()
+    for s in range(3):
+        assert any(f"shard_id={s}" in f for f in files)
