@@ -69,7 +69,9 @@ def main() -> None:
                 docs = docs.filter(F.col("lang") == args.lang)
             docs = docs.select(args.id_col, args.text_col)
     else:
-        docs = spark.read.parquet(args.input)
+        # route through the source layer so --format auto detects Iceberg
+        # identifiers here too (not only under --lang), per its help text
+        docs = read_table(spark, args.input, args.format)
 
     t0 = time.perf_counter()
     if args.resumable:

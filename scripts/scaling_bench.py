@@ -59,15 +59,39 @@ def gen_input(n_docs: int, path: str) -> None:
         print(f"generated {done}/{n_docs}", flush=True)
 
 
-def measure(cpus: int, input_dir: str) -> dict:
-    """Run one index build at local[cpus]; returns the metrics dict."""
+def _parse_spec(spec: str) -> tuple[str, int]:
+    """Measurement spec → (master, total_cores).
+
+    ``"8"`` → ``local[8]`` (threads in one JVM); ``"2x4"`` →
+    ``local-cluster[2,4,4096]`` (2 SEPARATE executor JVM processes with 4
+    cores each — own GC, own allocator, shuffle over real block transfers;
+    the closest this sandbox gets to multi-executor semantics)."""
+    if "x" in spec:
+        n_exec, cores = (int(p) for p in spec.split("x"))
+        return f"local-cluster[{n_exec},{cores},4096]", n_exec * cores
+    return f"local[{int(spec)}]", int(spec)
+
+
+def measure(spec: str, input_dir: str) -> dict:
+    """Run one index build at the given spec; returns the metrics dict."""
     from splade_spark.operators.indexing import build_index
     from splade_spark.session import get_spark, warm_python_workers
 
+    master, cpus = _parse_spec(spec)
+    repo_root = os.path.abspath(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
+    )
     spark = get_spark(
-        master=f"local[{cpus}]",
+        master=master,
         shuffle_partitions=cpus * 2,
-        extra_conf={"spark.ui.showConsoleProgress": "false"},
+        extra_conf={
+            "spark.ui.showConsoleProgress": "false",
+            # executor JVMs (local-cluster) need the package + the same
+            # throughput-GC setting the driver uses in local mode
+            "spark.executorEnv.PYTHONPATH": repo_root,
+            "spark.executor.memory": "3g",
+            "spark.executor.extraJavaOptions": "-XX:+UseParallelGC",
+        },
     )
     spark.range(10_000).selectExpr("sum(id)").collect()
     warm_python_workers(spark, cpus)
@@ -86,6 +110,8 @@ def measure(cpus: int, input_dir: str) -> dict:
     build_sec = time.perf_counter() - t0
 
     out = {
+        "spec": spec,
+        "master": master,
         "cpus": cpus,
         "docs": n_docs,
         "build_sec": round(build_sec, 2),
@@ -99,8 +125,8 @@ def measure(cpus: int, input_dir: str) -> dict:
 
 def main() -> None:
     if len(sys.argv) >= 2 and sys.argv[1] == "--one":
-        cpus, input_dir = int(sys.argv[2]), sys.argv[3]
-        print("RESULT " + json.dumps(measure(cpus, input_dir)))
+        spec, input_dir = sys.argv[2], sys.argv[3]
+        print("RESULT " + json.dumps(measure(spec, input_dir)))
         return
 
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else DEFAULT_DOCS
@@ -110,16 +136,16 @@ def main() -> None:
     if not os.path.isdir(input_dir) or not os.listdir(input_dir):
         gen_input(n_docs, input_dir)
 
-    def one(cpus: int) -> dict:
+    def one(spec: str) -> dict:
         proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--one", str(cpus), input_dir],
+            [sys.executable, os.path.abspath(__file__), "--one", spec, input_dir],
             capture_output=True, text=True, timeout=7200,
         )
         line = [l for l in proc.stdout.splitlines() if l.startswith("RESULT ")]
         if not line:
             print(proc.stdout[-3000:], file=sys.stderr)
             print(proc.stderr[-3000:], file=sys.stderr)
-            raise RuntimeError(f"measurement at local[{cpus}] failed")
+            raise RuntimeError(f"measurement at {spec!r} failed")
         return json.loads(line[-1][len("RESULT "):])
 
     # Interleaved-pair protocol: this sandbox VM's deliverable throughput
@@ -127,12 +153,21 @@ def main() -> None:
     # ceiling"), so a single (N, 4N) pair mostly samples VM state. Each
     # repeat runs N and 4N back-to-back and contributes one RATIO; the
     # median ratio is the reported efficiency.
+    #
+    # Modes (SPARK_GRAFT_SCALING_MODE):
+    #   threads (default): local[8] vs local[32] — one shared JVM.
+    #   cluster: local-cluster[2,4] vs local-cluster[8,4] — 2 -> 8 SEPARATE
+    #     executor JVM processes (4 cores each), i.e. N -> 4N executors
+    #     with per-executor GC/allocators, the shape the north rule's
+    #     criterion describes.
+    mode = os.environ.get("SPARK_GRAFT_SCALING_MODE", "threads")
+    lo_spec, hi_spec = ("2x4", "8x4") if mode == "cluster" else ("8", "32")
     repeats = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "3"))
     pairs = []
     runs = []
     for i in range(repeats):
-        lo = one(8)
-        hi = one(32)
+        lo = one(lo_spec)
+        hi = one(hi_spec)
         eff = (hi["docs_per_sec"] / lo["docs_per_sec"]) / 4.0
         pairs.append(round(eff, 3))
         runs.append({"round": i + 1, "lo": lo, "hi": hi, "efficiency": round(eff, 3)})
@@ -142,7 +177,11 @@ def main() -> None:
     summary = {
         "metric": "index_build_scaling_efficiency",
         "value": med,
-        "unit": "median ratio over interleaved pairs (target >= 0.8, N=8 -> 4N=32 cores)",
+        "unit": (
+            f"median ratio over interleaved pairs (target >= 0.8, "
+            f"{lo_spec} -> {hi_spec}, mode={mode})"
+        ),
+        "mode": mode,
         "pair_efficiencies": pairs,
         "runs": runs,
         "docs": n_docs,

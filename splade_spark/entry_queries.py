@@ -550,6 +550,34 @@ def bm25_topk_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("bm25_topk_merged", _BM25_SQL_DUCK_RANKONLY)
+def bm25_topk_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental fold (operators/merge.py): build over PART of the
+    corpus, fold the rest in WITHOUT re-processing the old docs (old tf
+    reconstructed from the stored blocks by inverting the BM25 impact;
+    global stats and idf updated; blocks rebuilt) → WAND retrieve. The
+    oracle is the FULL-corpus DuckDB BM25 SQL, so the gate proves the
+    fold reproduces exact whole-corpus semantics — n_docs, avgdl and df
+    all shifted by the batch. Split is on stringified doc_id order (the
+    append case, where fold ≡ rebuild including tie-breaks)."""
+    from .operators.indexing import build_index
+    from .operators.merge import merge_index_with_docs
+    from .operators.query import retrieve
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    old = docs.filter(F.col("doc_id").cast("string") < "5")
+    new = docs.filter(F.col("doc_id").cast("string") >= "5")
+    idx = merge_index_with_docs(
+        build_index(old, id_col="doc_id", text_col="text"), new
+    )
+    queries = spark.createDataFrame(BM25_QUERIES, "query_id string, text string")
+    res = retrieve(idx, queries, k=TOPK, strategy="wand")
+    return res.select(
+        "query_id", F.col("rank").cast("int").alias("rank"),
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+    )
+
+
 @register("bm25_topk_sharded_dist", _BM25_SQL_DUCK_RANKONLY)
 def bm25_topk_sharded_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Spark retrieval over the SAVED sharded layout — the
@@ -965,7 +993,8 @@ def jaccard_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ds = ds0.join(
         sdf.filter(F.col("df") <= JACCARD_SHINGLE_DF_CAP).select("s"),
         "s", "left_semi",
-    ).persist()
+    ).localCheckpoint(eager=True)  # computed once for both join sides;
+    # blocks released by the ContextCleaner (no session-lifetime persist)
     sizes = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = ds.alias("a"), ds.alias("b")
     inter = (
@@ -1179,6 +1208,79 @@ def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "query_id", "rank", "vec_id",
         F.round(F.col("cos") * 1e6).cast("bigint").alias("cos_micro"),
+    )
+
+
+# subword tokenizer (F1 parity surface): corpus-built vocab + greedy
+# longest-match segmentation — reference WordPiece semantics without
+# pretrained weights (functions/subword.py)
+SW_MAX_DOC = 60
+SW_LEN = 6
+SW_V = 400
+
+
+@register(
+    "subword_tokenize",
+    f"""
+WITH RECURSIVE tok AS (
+  SELECT doc_id, unnest({tokens_sql('text')}) AS word
+  FROM documents WHERE doc_id < {SW_MAX_DOC}
+),
+wc AS (SELECT word, count(*) AS wc FROM tok GROUP BY word),
+starts AS (SELECT word, wc, unnest(range(1, len(word) + 1)) AS s FROM wc),
+pieces AS (
+  SELECT substr(word, CAST(s AS INT), l) AS piece, sum(wc) AS freq
+  FROM starts CROSS JOIN (SELECT unnest([1, 2, 3, 4, 5, 6]) AS l) ll
+  WHERE s + l - 1 <= len(word)
+  GROUP BY 1
+),
+rankedv AS (
+  SELECT piece, row_number() OVER (ORDER BY freq DESC, piece ASC) AS rn
+  FROM pieces
+),
+vocab AS (SELECT piece FROM rankedv WHERE rn <= {SW_V} OR len(piece) = 1),
+dw AS (SELECT DISTINCT word FROM tok),
+walk AS (
+  SELECT word, CAST(1 AS BIGINT) AS pos, CAST(NULL AS VARCHAR) AS piece
+  FROM dw
+  UNION ALL
+  SELECT w.word, w.pos + w.bl,
+         substr(w.word, CAST(w.pos AS INT), CAST(w.bl AS INT))
+  FROM (
+    SELECT word, pos,
+           (SELECT max(len(v.piece)) FROM vocab v
+            WHERE v.piece = substr(walk.word, CAST(walk.pos AS INT), len(v.piece))
+           ) AS bl
+    FROM walk WHERE pos <= len(word)
+  ) w
+  WHERE w.bl IS NOT NULL
+),
+wp AS (SELECT word, piece FROM walk WHERE piece IS NOT NULL)
+SELECT t.doc_id, wp.piece AS term, CAST(count(*) AS BIGINT) AS tf
+FROM tok t JOIN wp ON wp.word = t.word
+GROUP BY 1, 2
+""",
+)
+def subword_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-driven subword tokenizer (functions/subword.py): vocab =
+    top-{SW_V} substrings by (freq desc, piece asc) ∪ all observed single
+    chars, then greedy longest-match segmentation of every distinct word
+    (Arrow-batched, vocab in closure), pieces fanned back onto the token
+    stream → per-doc subword tf. The DuckDB oracle rebuilds the SAME
+    vocab in SQL and walks each word with a recursive CTE whose step
+    picks the longest matching vocab piece — greedy semantics pinned
+    across Spark, Python, and SQL (reference WordPiece analogue,
+    /root/reference/src/utils/transformers.py:4-12)."""
+    from .functions.subword import build_subword_vocab, subword_tf
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < SW_MAX_DOC)
+    vocab = build_subword_vocab(
+        docs, max_piece_len=SW_LEN, vocab_size=SW_V
+    )
+    return subword_tf(docs, vocab, max_piece_len=SW_LEN).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "term",
+        F.col("tf").cast("bigint").alias("tf"),
     )
 
 

@@ -12,7 +12,7 @@ Layout under ``out_dir``::
     shards/tf/bucket=<b>/*.parquet     (doc_id, term, tf)
     shards/dl/bucket=<b>/*.parquet     (doc_id, dl)
     build_log/*.parquet                (bucket, input_fingerprint, doc_count,
-                                        nnz, wall_ms, status, attempt)
+                                        nnz, run_wall_ms, status, attempt)
 
 Protocol:
   1. bucket = pmod(xxhash64(doc_id), n_buckets) — deterministic, so a
@@ -46,7 +46,7 @@ from .indexing import InvertedIndex, index_from_tf
 
 LOG_SCHEMA = (
     "bucket INT, input_fingerprint BIGINT, doc_count BIGINT, nnz BIGINT, "
-    "wall_ms BIGINT, status STRING, attempt INT"
+    "run_wall_ms BIGINT, status STRING, attempt INT"
 )
 
 
@@ -152,6 +152,10 @@ def encode_corpus_resumable(
         )
         .collect()
     )
+    # run_wall_ms is the wall time of the RUN that committed the bucket
+    # (one job covers all of a run's buckets — a true per-bucket wall
+    # does not exist in this execution model); summing it over a log
+    # would over-count, group by (attempt, run_wall_ms) instead
     wall_ms = int((time.perf_counter() - t0) * 1000)
     audited = {int(r["bucket"]) for r in audit}
     log_rows = [

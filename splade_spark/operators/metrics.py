@@ -68,8 +68,13 @@ def label_results(results: DataFrame, qrels: DataFrame) -> DataFrame:
 def retrieval_metrics(
     results: DataFrame, qrels: DataFrame, cfg: EngineConfig = DEFAULT
 ) -> DataFrame:
-    """→ (metric string, k int, value double), averaged over queries."""
-    ranked = label_results(results, qrels).cache()
+    """→ (metric string, k int, value double), averaged over queries.
+
+    The labeled ranking is localCheckpoint-ed (computed once, reused by
+    every cutoff's aggregation) instead of cache()-d: the ContextCleaner
+    releases the blocks when the result goes out of scope, so repeated
+    metric runs in a long-lived session don't accumulate cached plans."""
+    ranked = label_results(results, qrels).localCheckpoint(eager=True)
     n_pos = ranked.filter(F.col("relevance") > 0).groupBy("query_id").agg(
         F.count(F.lit(1)).alias("n_pos")
     )

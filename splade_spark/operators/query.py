@@ -115,18 +115,28 @@ def encode_queries_weighted(
     ).select("query_id", "term_id", "qtf", "df")
 
 
-def sparsify_query_terms(q_terms: DataFrame, meta: dict) -> DataFrame:
+def sparsify_query_terms(
+    q_terms: DataFrame, meta: dict, bounded_by_encoder: bool = True
+) -> DataFrame:
     """W3: prune the query vector with the INDEX's own settings, mirrored
     from metadata (reference retrieval.py:133-144 → sparse_index.py:539-578):
     strict ``qtf > min_weight``, then keep the ``top_k_terms``
-    highest-weight terms per query (ties: weight desc, term_id asc)."""
+    highest-weight terms per query (ties: weight desc, term_id asc).
+
+    ``bounded_by_encoder``: True when the query vectors came from this
+    repo's encoders (bag-of-words / surrogate expander), whose per-query
+    term count is provably ≤ TERMS_PER_TOKEN_BOUND·max_tokens — only then
+    may the cap window be skipped as never-binding. Externally supplied
+    weight vectors have no such bound, so the window always runs for them
+    (every strategy then agrees with LocalIndexServer, which always
+    applies the cap)."""
     mw = float(meta.get("min_weight", 0.0))
     out = q_terms.filter(F.col("qtf") > mw)
     qk = int(meta.get("top_k_terms", 1 << 30))
     max_tokens = int(meta.get("max_tokens", DEFAULT.max_tokens))
     # a cap at or above the encoder's terms-per-query bound can never
     # bind — skip the window (the mirror of indexing._assemble's skip)
-    if qk < TERMS_PER_TOKEN_BOUND * max_tokens:
+    if not bounded_by_encoder or qk < TERMS_PER_TOKEN_BOUND * max_tokens:
         w = Window.partitionBy("query_id").orderBy(
             F.desc("qtf"), F.asc("term_id")
         )
@@ -375,10 +385,21 @@ def score_wand(
         parts.append(_wand_scores(index, q_terms, k, light_rows))
     if heavy_rows:
         # size doc-range shards so each (query, shard) task sees ~cap
-        # postings of the heaviest query; never more shards than docs
-        n_shards = -(-max(per_q[q] for q in heavy) // max(1, cap))
-        n_shards = max(2, min(4096, int(index.meta["n_docs"]), n_shards))
-        parts.append(_wand_scores_sharded(index, k, heavy_rows, n_shards))
+        # postings — per TIER, not off the single heaviest query: shard
+        # needs are rounded up to the next power of 4, so a query just
+        # over the cap fans out 2-4 ways while a stopword query still gets
+        # its thousands, and all queries in a tier share one plan (2-3
+        # tiers in practice). Never more shards than docs.
+        n_docs = int(index.meta["n_docs"])
+        tiers: dict[int, list] = {}
+        for r in heavy_rows:
+            need = -(-per_q[r["query_id"]] // max(1, cap))
+            t = 2
+            while t < need:
+                t *= 4
+            tiers.setdefault(max(2, min(4096, n_docs, t)), []).append(r)
+        for n_shards, tier_rows in sorted(tiers.items()):
+            parts.append(_wand_scores_sharded(index, k, tier_rows, n_shards))
     scores = parts[0]
     for p in parts[1:]:
         scores = scores.unionByName(p)
@@ -649,7 +670,11 @@ def retrieve(
         q_terms = encode_queries_weighted(query_weights, index.term_dict, meta)
     else:
         q_terms = encode_queries(queries, index.term_dict, cfg, meta)
-    q_terms = sparsify_query_terms(q_terms, meta)
+    # external weight vectors carry no per-query term-count bound — the
+    # sparsify cap window must always run for them (ADVICE r2)
+    q_terms = sparsify_query_terms(
+        q_terms, meta, bounded_by_encoder=query_weights is None
+    )
     if strategy == "wand":
         return score_wand(index, q_terms, k, cfg)
     if strategy == "local":

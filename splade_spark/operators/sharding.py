@@ -212,6 +212,13 @@ class ShardedServer:
     thin RPC fan-out — the merge below is the broker's exact logic."""
 
     def __init__(self, index: InvertedIndex, n_shards: int):
+        """Split an IN-MEMORY index into S resident shard servers.
+
+        This constructor funnels the whole sharded postings table through
+        the driver (one Arrow toPandas) — fine for demo/test indexes that
+        fit one process. For big indexes use ``save_sharded`` +
+        ``from_saved`` instead: each shard loads only its own partition
+        directory, which is the real fleet's boot path."""
         from .query import LocalIndexServer, load_term_info
 
         self.n_shards = int(n_shards)

@@ -76,10 +76,16 @@ def read_web_corpus(
 def read_table(spark: SparkSession, location: str, fmt: str = "auto") -> DataFrame:
     """The raw format split without the contract projection — for callers
     with non-contract column names (e.g. the build CLI's --id-col/
-    --text-col). ``auto``: paths (contain '/' or end in .parquet) →
-    parquet, anything else → iceberg identifier."""
+    --text-col). ``auto``: paths (contain '/', end in .parquet, or exist
+    on the local filesystem — a bare relative dir like ``pages`` is a
+    path, not a catalog identifier) → parquet, anything else → iceberg."""
+    import os
+
     if fmt == "auto":
-        fmt = "parquet" if ("/" in location or location.endswith(".parquet")) else "iceberg"
+        fmt = "parquet" if (
+            "/" in location or location.endswith(".parquet")
+            or os.path.exists(location)
+        ) else "iceberg"
     if fmt == "parquet":
         return spark.read.parquet(location)
     if fmt == "iceberg":

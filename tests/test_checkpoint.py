@@ -102,7 +102,7 @@ def test_build_log_metrics(spark, docs_df, tmp_path_factory):
     assert all(r["status"] == "committed" for r in log)
     assert sum(r["doc_count"] for r in log) == N_DOCS
     assert sum(r["nnz"] for r in log) == s["nnz"] > 0
-    assert all(r["wall_ms"] >= 0 for r in log)
+    assert all(r["run_wall_ms"] >= 0 for r in log)
     # fingerprints are deterministic: re-encode into a fresh dir → same
     out2 = str(tmp_path_factory.mktemp("ckpt_log2"))
     encode_corpus_resumable(docs_df, out2, n_buckets=4, cfg=CFG)

@@ -1,0 +1,135 @@
+"""Incremental index fold (operators/merge.py): fold ≡ full rebuild.
+
+The exactness contract is bit-level: folding batch B into build(A) must
+reproduce build(A ∪ B) — same doc numbering (append case), same term ids,
+same block structure, same float32 weights — because the fold reruns the
+same statistics and weight formula over exactly reconstructed inputs.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from splade_spark.config import EngineConfig
+from splade_spark.fixtures import gen_pages, gen_queries
+from splade_spark.functions.codec import decode_block
+from splade_spark.operators.indexing import build_index, doc_term_frequencies
+from splade_spark.operators.merge import (
+    merge_index_with_docs,
+    merge_index_with_tf,
+    reconstruct_tf,
+)
+from splade_spark.operators.query import retrieve
+
+N_DOCS, N_OLD = 300, 220
+CFG = EngineConfig(block_size=64, index_partitions=4)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    pages = gen_pages(N_DOCS, seed=91)
+    full = spark.createDataFrame(pages[["url", "text"]])
+    # urls are zero-padded -> the i >= N_OLD slice sorts after the rest,
+    # the append case where fold ≡ rebuild bit-for-bit
+    cut = f"https://example.org/train/{N_OLD:08d}"
+    return full, full.filter(F.col("url") < cut), full.filter(F.col("url") >= cut)
+
+
+def _index_state(idx):
+    """Fully decoded, order-independent snapshot of an index."""
+    terms = {
+        (r["term_id"], r["term"], r["df"]) for r in idx.term_dict.collect()
+    }
+    dim = {(r["doc_idx"], r["doc_id"], r["dl"]) for r in idx.doc_dim.collect()}
+    blocks = {}
+    for r in idx.postings.collect():
+        d, w = decode_block(r["doc_gaps"], r["weights"])
+        blocks[(r["term_id"], r["block_id"])] = (
+            r["n_postings"], r["min_doc"], r["max_doc"],
+            np.float32(r["max_weight"]).tobytes(),
+            d.tobytes(), w.tobytes(),
+        )
+    return terms, dim, blocks
+
+
+def test_fold_equals_full_rebuild(spark, corpus):
+    full, old, new = corpus
+    folded = merge_index_with_docs(
+        build_index(old, id_col="url", text_col="text", cfg=CFG),
+        new, id_col="url", text_col="text",
+    )
+    rebuilt = build_index(full, id_col="url", text_col="text", cfg=CFG)
+
+    assert folded.meta["n_docs"] == rebuilt.meta["n_docs"] == N_DOCS
+    assert folded.meta["avgdl"] == pytest.approx(rebuilt.meta["avgdl"], rel=1e-12)
+    ft, fd, fb = _index_state(folded)
+    rt, rd, rb = _index_state(rebuilt)
+    assert ft == rt
+    assert fd == rd
+    assert fb == rb
+
+    queries = spark.createDataFrame(
+        gen_queries(15, gen_pages(N_DOCS, seed=91), seed=92)[["query_id", "text"]]
+    )
+    got = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], np.float32(r["score"]).tobytes())
+        for r in retrieve(folded, queries, k=10, strategy="wand").collect()
+    )
+    want = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], np.float32(r["score"]).tobytes())
+        for r in retrieve(rebuilt, queries, k=10, strategy="wand").collect()
+    )
+    assert got == want
+
+
+def test_two_sequential_folds(spark, corpus):
+    full, old, new = corpus
+    cut2 = f"https://example.org/train/{(N_OLD + N_DOCS) // 2:08d}"
+    idx = build_index(old, id_col="url", text_col="text", cfg=CFG)
+    idx = merge_index_with_docs(
+        idx, new.filter(F.col("url") < cut2), id_col="url", text_col="text"
+    )
+    idx = merge_index_with_docs(
+        idx, new.filter(F.col("url") >= cut2), id_col="url", text_col="text"
+    )
+    rebuilt = build_index(full, id_col="url", text_col="text", cfg=CFG)
+    assert _index_state(idx) == _index_state(rebuilt)
+
+
+def test_reconstruct_tf_is_exact(spark, corpus):
+    _, old, _ = corpus
+    idx = build_index(old, id_col="url", text_col="text", cfg=CFG)
+    tf, _dl = doc_term_frequencies(old, "url", "text", CFG)
+    want = {
+        (r["doc_id"], r["term"], r["tf"])
+        for r in tf.join(
+            idx.doc_dim.select(F.col("doc_id"), "doc_idx"), "doc_id"
+        ).collect()
+    }
+    got = {
+        (r["doc_id"], r["term"], r["tf"])
+        for r in reconstruct_tf(idx)
+        .join(idx.doc_dim.select("doc_idx", "doc_id"), "doc_idx")
+        .collect()
+    }
+    assert got == want
+
+
+def test_fold_guards(spark, corpus):
+    _, old, new = corpus
+    idx = build_index(old, id_col="url", text_col="text", cfg=CFG)
+    # duplicate doc_ids refuse to fold (append, not upsert)
+    with pytest.raises(ValueError, match="already present"):
+        merge_index_with_docs(idx, old.limit(5), id_col="url", text_col="text")
+    # empty batch
+    with pytest.raises(ValueError, match="empty"):
+        merge_index_with_docs(
+            idx, new.filter(F.lit(False)), id_col="url", text_col="text"
+        )
+    # non-invertible build settings refuse (silent divergence is worse)
+    capped = build_index(
+        old, id_col="url", text_col="text",
+        cfg=EngineConfig(block_size=64, index_partitions=4, top_k_terms=8),
+    )
+    with pytest.raises(ValueError, match="cap"):
+        merge_index_with_docs(capped, new, id_col="url", text_col="text")
