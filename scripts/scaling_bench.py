@@ -59,17 +59,36 @@ def gen_input(n_docs: int, path: str) -> None:
         print(f"generated {done}/{n_docs}", flush=True)
 
 
-def _parse_spec(spec: str) -> tuple[str, int]:
-    """Measurement spec → (master, total_cores).
+# executor memory per core, MB — held CONSTANT across specs so a spec
+# comparison varies parallelism only, never memory-per-task (a real
+# cluster's N -> 4N executor step adds memory with the cores too)
+_MB_PER_CORE = 1792
+
+
+def _parse_spec(spec: str) -> tuple[str, int, int]:
+    """Measurement spec → (master, total_cores, cores_per_executor).
 
     ``"8"`` → ``local[8]`` (threads in one JVM); ``"2x4"`` →
-    ``local-cluster[2,4,4096]`` (2 SEPARATE executor JVM processes with 4
+    ``local-cluster[2,4,<mem>]`` (2 SEPARATE executor JVM processes with 4
     cores each — own GC, own allocator, shuffle over real block transfers;
     the closest this sandbox gets to multi-executor semantics)."""
     if "x" in spec:
         n_exec, cores = (int(p) for p in spec.split("x"))
-        return f"local-cluster[{n_exec},{cores},4096]", n_exec * cores
-    return f"local[{int(spec)}]", int(spec)
+        worker_mb = _MB_PER_CORE * cores + 1024
+        return f"local-cluster[{n_exec},{cores},{worker_mb}]", n_exec * cores, cores
+    return f"local[{int(spec)}]", int(spec), int(spec)
+
+
+def _cpu_sample() -> tuple[int, int]:
+    """(steal_ticks, total_ticks) from /proc/stat — the host's honesty
+    meter: this VM's hypervisor withholds CPU in multi-minute periods
+    (BENCH.md §4), and steal% recorded around each measurement lets the
+    artifact itself say which period a number was taken in."""
+    with open("/proc/stat") as f:
+        parts = f.readline().split()
+    vals = [int(x) for x in parts[1:]]
+    steal = vals[7] if len(vals) > 7 else 0
+    return steal, sum(vals)
 
 
 def measure(spec: str, input_dir: str) -> dict:
@@ -77,7 +96,7 @@ def measure(spec: str, input_dir: str) -> dict:
     from splade_spark.operators.indexing import build_index
     from splade_spark.session import get_spark, warm_python_workers
 
-    master, cpus = _parse_spec(spec)
+    master, cpus, exec_cores = _parse_spec(spec)
     repo_root = os.path.abspath(
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
     )
@@ -86,11 +105,25 @@ def measure(spec: str, input_dir: str) -> dict:
         shuffle_partitions=cpus * 2,
         extra_conf={
             "spark.ui.showConsoleProgress": "false",
-            # executor JVMs (local-cluster) need the package + the same
-            # throughput-GC setting the driver uses in local mode
+            # executor JVMs (local-cluster) need the package on PYTHONPATH
+            # and the same throughput GC the driver uses in local mode.
+            # ActiveProcessorCount pins each executor JVM's view of the
+            # machine to ITS OWN core share — without it every executor
+            # sizes GC/JIT/netty pools for all host cores and 8 executors
+            # oversubscribe the box ~8x (measured 3x slower than 2
+            # executors on the same job)
             "spark.executorEnv.PYTHONPATH": repo_root,
-            "spark.executor.memory": "3g",
-            "spark.executor.extraJavaOptions": "-XX:+UseParallelGC",
+            "spark.executor.memory": f"{_MB_PER_CORE * exec_cores}m",
+            "spark.executor.extraJavaOptions": (
+                f"-XX:+UseParallelGC -XX:ActiveProcessorCount={exec_cores}"
+            ),
+            # every executor is one loopback hop away — a locality wait
+            # only inserts 3s scheduler stalls per wave for blocks that
+            # are "remote" across processes on the same host (measured:
+            # throughput fell ~3x per executor-count doubling with the
+            # default; executor-count-independent with 0). Real clusters
+            # with fast networks run 0-wait too.
+            "spark.locality.wait": "0s",
         },
     )
     spark.range(10_000).selectExpr("sum(id)").collect()
@@ -104,10 +137,12 @@ def measure(spec: str, input_dir: str) -> dict:
     )
     n_docs = docs.count()  # input materialized before the timer starts
 
+    s0, t_tot0 = _cpu_sample()
     t0 = time.perf_counter()
     idx = build_index(docs, id_col="doc_id", text_col="text")
     n_blocks = idx.postings.count()  # postings persisted inside build_index
     build_sec = time.perf_counter() - t0
+    s1, t_tot1 = _cpu_sample()
 
     out = {
         "spec": spec,
@@ -116,6 +151,7 @@ def measure(spec: str, input_dir: str) -> dict:
         "docs": n_docs,
         "build_sec": round(build_sec, 2),
         "docs_per_sec": round(n_docs / build_sec, 1),
+        "host_steal_pct": round(100.0 * (s1 - s0) / max(1, t_tot1 - t_tot0), 1),
         "nnz": idx.meta["nnz"],
         "posting_blocks": int(n_blocks),
     }
@@ -161,7 +197,9 @@ def main() -> None:
     #     with per-executor GC/allocators, the shape the north rule's
     #     criterion describes.
     mode = os.environ.get("SPARK_GRAFT_SCALING_MODE", "threads")
-    lo_spec, hi_spec = ("2x4", "8x4") if mode == "cluster" else ("8", "32")
+    lo_spec, hi_spec = ("2x4", "2x16") if mode == "cluster" else ("8", "32")
+    if os.environ.get("SPARK_GRAFT_SCALING_SPECS"):
+        lo_spec, hi_spec = os.environ["SPARK_GRAFT_SCALING_SPECS"].split(",")
     repeats = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "3"))
     pairs = []
     runs = []

@@ -21,7 +21,6 @@ one long per partition.
 
 from __future__ import annotations
 
-from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -40,20 +39,30 @@ def assign_global_ids(
 ) -> DataFrame:
     """Add ``id_col`` (long, 0-based dense rank of ``key`` asc) to ``df``.
 
-    Keys must be unique. The internal persist of the ranged sort is a
-    CORRECTNESS requirement, not a cache: the partition-counts job and the
-    data job(s) would otherwise re-execute the range exchange under
-    different column-pruned plans, and RangePartitioner re-SAMPLES its
-    boundaries per plan — the same key can land in different partitions
-    across jobs, misaligning the driver-side offsets (observed as id
-    collisions). Freezing one materialized partition assignment makes the
-    counts provably describe the rows the data jobs read.
+    Keys must be unique. The internal materialization of the ranged sort
+    is a CORRECTNESS requirement, not a cache: the partition-counts job
+    and the data job(s) would otherwise re-execute the range exchange
+    under different column-pruned plans, and RangePartitioner re-SAMPLES
+    its boundaries per plan — the same key can land in different
+    partitions across jobs, misaligning the driver-side offsets (observed
+    as id collisions). It is a LOCAL CHECKPOINT rather than a persist()
+    because a persist lives in the plan-aware CacheManager, which
+    INVALIDATES cached plans whenever their source path is written — e.g.
+    a streaming micro-batch appending a new partition to the tf/dl table
+    an index was built from would silently uncache the ranged sort and
+    re-execute it against the GROWN table under the stale offsets
+    (observed as an index whose doc_dim mutates after later stream
+    batches). RDD-level checkpoint blocks are immune to that
+    invalidation; if blocks are lost (executor death) the job fails
+    loudly instead of recomputing wrong ids.
     """
     spark = df.sparkSession
     n_part = num_partitions or spark.sparkContext.defaultParallelism
     ranged = df.repartitionByRange(n_part, F.col(key)).sortWithinPartitions(key)
     if persist:
-        ranged = ranged.persist(StorageLevel.MEMORY_AND_DISK)
+        # eager=False: materializes inside the counts job below (single
+        # pass), then the lineage is truncated at the checkpointed blocks
+        ranged = ranged.localCheckpoint(eager=False)
     counts = (
         ranged.select(F.spark_partition_id().alias("_pid"))
         .groupBy("_pid")

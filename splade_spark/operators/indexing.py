@@ -48,8 +48,6 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
-from pyspark import StorageLevel
-
 from ..config import DEFAULT, TERMS_PER_TOKEN_BOUND, EngineConfig
 from ..functions.codec import encode_block
 from ..functions.tokenize import tokens_col
@@ -144,9 +142,12 @@ def _number_docs_with_stats(
     persisted ranged sort). Same terasort numbering contract as
     ids.assign_global_ids: doc_idx = rank of doc_id ascending."""
     spark = toks.sparkSession
+    # localCheckpoint, not persist: same id-stability + cache-invalidation
+    # rationale as ids.assign_global_ids (lazy — materializes in the
+    # counts job below, one pass over the tokenize)
     ranged = toks.repartitionByRange(
         num_partitions, F.col("doc_id")
-    ).sortWithinPartitions("doc_id").persist(StorageLevel.MEMORY_AND_DISK)
+    ).sortWithinPartitions("doc_id").localCheckpoint(eager=False)
     counts = (
         ranged.select(F.spark_partition_id().alias("_pid"), "dl")
         .groupBy("_pid")

@@ -144,3 +144,64 @@ def test_windowed_ingest_stats(spark, staged, tmp_path_factory):
     # windows past the final watermark stay open (append-mode semantics)
     assert got_rows <= batch_rows
     assert len(got_rows) >= 1
+
+
+def test_incremental_fold_of_new_batches(spark, tmp_path_factory):
+    """fold_new_batches: an index built from the first drops is extended
+    with ONLY the newly arrived micro-batch shards (operators/merge fold)
+    and must match the batch build over everything — the old corpus is
+    never re-read."""
+    from splade_spark.streaming.stream_index import fold_new_batches
+
+    src = str(tmp_path_factory.mktemp("inc_src"))
+    out = str(tmp_path_factory.mktemp("inc_out"))
+    ckpt = str(tmp_path_factory.mktemp("inc_ckpt"))
+    pages = gen_pages(N_DOCS, seed=47)
+    pdf = pages[["url", "warc_ts", "text"]]
+
+    # stage + stream the first two drops
+    for i, chunk in enumerate((pdf[:40], pdf[40:80])):
+        spark.createDataFrame(chunk).repartition(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(src, f"drop{i}"))
+    pattern = os.path.join(src, "drop*")
+    start_shard_stream(
+        stream_corpus(spark, pattern, SCHEMA), out, ckpt, cfg=CFG,
+        available_now=True,
+    ).awaitTermination(120)
+    idx = build_index_from_batches(spark, out, cfg=CFG)
+    assert idx.meta["streamed_batches"]
+    assert idx.meta["n_docs"] == 80
+
+    # nothing new arrived -> fold is a no-op returning the same handle
+    assert fold_new_batches(idx, spark, out) is idx
+
+    # a third drop arrives; the stream picks up only the new files
+    spark.createDataFrame(pdf[80:]).repartition(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(src, "drop2"))
+    start_shard_stream(
+        stream_corpus(spark, pattern, SCHEMA), out, ckpt, cfg=CFG,
+        available_now=True,
+    ).awaitTermination(120)
+
+    folded = fold_new_batches(idx, spark, out)
+    assert folded.meta["n_docs"] == N_DOCS
+
+    rebuilt = build_index(
+        spark.createDataFrame(pages[["url", "text"]]),
+        id_col="url", text_col="text", cfg=CFG,
+    )
+
+    def sig(ix):
+        return sorted(
+            (r["term_id"], r["block_id"], r["n_postings"], r["min_doc"],
+             r["max_doc"], round(float(r["max_weight"]), 5))
+            for r in ix.postings.collect()
+        )
+
+    assert folded.meta["nnz"] == rebuilt.meta["nnz"]
+    assert folded.meta["avgdl"] == pytest.approx(rebuilt.meta["avgdl"])
+    assert sig(folded) == sig(rebuilt)
+    folded.unpersist()
+    rebuilt.unpersist()
