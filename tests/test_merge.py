@@ -133,3 +133,29 @@ def test_fold_guards(spark, corpus):
     )
     with pytest.raises(ValueError, match="cap"):
         merge_index_with_docs(capped, new, id_col="url", text_col="text")
+
+
+def test_inversion_exact_over_weight_grid():
+    """Property: the BM25 impact inversion recovers tf EXACTLY from the
+    float32-stored weight across the realistic parameter grid (tf bounded
+    by max_tokens=256; dl up to 256; df/n_docs across magnitudes) — the
+    rounding margin absorbs the f32 quantization (module docstring's
+    tf ≲ 4000 safety bound)."""
+    import itertools
+
+    k1, b = 1.2, 0.75
+    for n_docs, avgdl in ((1_000, 60.0), (1_000_000, 180.0)):
+        dfs = (1, 5, n_docs // 100 + 1, n_docs // 2, n_docs - 1)
+        for df, dl, tf in itertools.product(
+            dfs, (5, 60, 256), (1, 2, 3, 7, 50, 256)
+        ):
+            if tf > dl:
+                continue
+            idf = np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+            denom = tf + k1 * (1.0 - b + b * dl / avgdl)
+            w32 = np.float32(idf * tf * (k1 + 1.0) / denom)
+            # the operator's algebra on the f32-stored value
+            w_prime = float(w32) / idf
+            cap_k = k1 * (1.0 - b + b * dl / avgdl)
+            tf_rec = round(w_prime * cap_k / ((k1 + 1.0) - w_prime))
+            assert tf_rec == tf, (n_docs, avgdl, df, dl, tf, tf_rec)
