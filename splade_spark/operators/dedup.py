@@ -193,17 +193,20 @@ def connected_components(
     the corpus (see ``dedup_drop_list``) to give singletons their identity
     cluster.
     """
+    # lazy localCheckpoints: the convergence agg below is the single
+    # action per iteration and materializes the checkpoint as it runs —
+    # one Spark job per propagation round, not two
     edges = (
         pairs.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
         .union(pairs.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     labels = (
         edges.select(F.col("a").alias("id"))
         .distinct()
         .select("id", F.col("id").alias("label"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     metric = F.sum(F.col("label").cast("decimal(38,0)"))
     prev = labels.agg(metric).first()[0]
@@ -215,7 +218,7 @@ def connected_components(
             labels.unionByName(nbr)
             .groupBy("id")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         cur = new_labels.agg(metric).first()[0]
         labels = new_labels
