@@ -41,6 +41,8 @@ HEADLINE = [
     "ann_cosine_topk",         # brute-force cosine top-k
     "dedup_clusters",          # LSH candidates -> connected components -> drop list
     "subword_tokenize",        # corpus-vocab greedy subword segmentation
+    "splade_pooled_terms",     # pooling/activation-grid encoder (r4)
+    "media_decoded_features",  # real BMP decode -> features (r4)
     "text_quality",            # quality-scoring features
     "lineitem_pricing_agg",    # relational agg w/ pushed filter
     "top_orders_per_priority", # per-group top-k window

@@ -54,6 +54,12 @@ class EngineConfig:
     # posting block: target postings per (term, block); blocks are
     # doc_idx-range partitioned so min_doc/max_doc are disjoint per term
     block_size: int = 4096
+    # posting weight storage dtype — mirrors the reference's
+    # encoding.value_dtype (float16/32 with fp16→fp32 upcast at read,
+    # /root/reference/src/indexing/sparse_index.py:14-36,
+    # script/index.py:88-94). "float16" halves posting-payload bytes at
+    # ~1e-3 relative weight error; decode always upcasts to float32
+    value_dtype: str = "float32"
     # retrieval
     top_k: int = 10
     # metric cutoffs — reference testing.k_list

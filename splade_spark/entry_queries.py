@@ -301,7 +301,12 @@ def bm25_resumable_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SPLADE-style expansion family
 # ---------------------------------------------------------------------------
 
-from .functions.expander import expand_sql, expand_terms  # noqa: E402
+from .functions.expander import (  # noqa: E402
+    expand_pooled_sql,
+    expand_sql,
+    expand_terms,
+    expand_terms_pooled,
+)
 
 _SPLADE_EXPAND_SQL = f"""
 WITH docs50 AS (SELECT doc_id, text FROM documents WHERE doc_id < 50),
@@ -321,6 +326,37 @@ def splade_expand_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return expand_terms(docs).select(
         "doc_id", "term",
         F.round(F.col("weight").cast("double") * 1e6).cast("bigint").alias("weight_micro"),
+    )
+
+
+# generalized pooled encoder pinned at a NON-DEFAULT grid point: softplus
+# activation (strictly positive — exercises the negative-logit branch the
+# relu family zeroes) interpolated 25% toward max pooling
+POOL_MODE, POOL_ACT = 0.25, "softplus"
+
+_SPLADE_POOLED_SQL = f"""
+WITH docs50 AS (SELECT doc_id, text FROM documents WHERE doc_id < 50),
+{expand_pooled_sql('docs50', 'doc_id', 'text', pooling_mode=POOL_MODE, activation=POOL_ACT)}
+SELECT doc_id, term,
+       CAST(round(weight * 1000) AS BIGINT) AS weight_milli
+FROM pooled_docs50
+"""
+
+
+@register("splade_pooled_terms", _SPLADE_POOLED_SQL)
+def splade_pooled_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's full pooling/activation surface (splade.py:11-40
+    logit activations; :69-87 `pooled = sum + (max−sum)·mode`), pinned at
+    (mode=0.25, softplus) — `functions.expander.expand_terms_pooled`.
+    weight_milli quantization absorbs f64 sum-order noise between Spark's
+    partial aggregation and DuckDB's parallel sum."""
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 50).select("doc_id", "text")
+    return expand_terms_pooled(
+        docs, pooling_mode=POOL_MODE, activation=POOL_ACT,
+        value_dtype="double",  # quantization-free vs the f64 oracle
+    ).select(
+        "doc_id", "term",
+        F.round(F.col("weight").cast("double") * 1e3).cast("bigint").alias("weight_milli"),
     )
 
 
@@ -772,10 +808,10 @@ def minhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_clusters",
-    f"""
-WITH RECURSIVE sh AS (
+# shared recursive-CTE chain: minhash bands → candidate pairs → transitive
+# closure (used by the dedup_clusters oracle AND the bm25_topk_deduped
+# oracle's kept-docs filter)
+_DEDUP_CC_CTES = f"""sh AS (
   SELECT doc_id, unnest({_SHINGLES_DUCK}) AS term
   FROM documents WHERE doc_id < {MINHASH_MAX_DOC}
 ),
@@ -805,7 +841,13 @@ reach AS (
   UNION
   SELECT e.b AS node, r.label AS label FROM reach r JOIN edges e ON e.a = r.node
 ),
-cc AS (SELECT node, min(label) AS cluster_id FROM reach GROUP BY node)
+cc AS (SELECT node, min(label) AS cluster_id FROM reach GROUP BY node)"""
+
+
+@register(
+    "dedup_clusters",
+    f"""
+WITH RECURSIVE {_DEDUP_CC_CTES}
 SELECT d.doc_id,
        CAST(coalesce(cc.cluster_id, d.doc_id) AS BIGINT) AS cluster_id,
        CAST(CASE WHEN coalesce(cc.cluster_id, d.doc_id) = d.doc_id
@@ -843,6 +885,70 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("cluster_id").cast("bigint").alias("cluster_id"),
         F.col("keep").cast("bigint").alias("keep"),
+    )
+
+
+# rank-only BM25 over the dedup-surviving docs: the tombstone-fold oracle.
+# The recursive CTE reproduces the dedup_clusters keeps; the BM25 body then
+# runs over documents_kept only.
+_BM25_DEDUPED_SQL_DUCK = (
+    "WITH RECURSIVE "
+    + _DEDUP_CC_CTES
+    + """,
+drops AS (SELECT node AS doc_id FROM cc WHERE cluster_id <> node),
+documents_kept AS (
+  SELECT * FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+),
+"""
+    + (
+        _BM25_BODY.replace("FROM documents", "FROM documents_kept")
+        .replace("{TOK}", tokens_sql("text"))
+        .replace("{QTOK}", tokens_sql("qtext"))
+        .replace("{STR}", "VARCHAR")
+        .replace("{UNNEST}", "unnest")
+        .lstrip()
+        .removeprefix("WITH ")
+    )
+    + f"SELECT query_id, CAST(rank AS INT) AS rank, doc_id FROM ranked WHERE rank <= {TOPK}"
+)
+
+
+@register("bm25_topk_deduped", _BM25_DEDUPED_SQL_DUCK)
+def bm25_topk_deduped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation loop end-to-end: build the full index → find near-dup
+    clusters (`deduplicate_corpus` pipeline at the md5 oracle pin) → apply
+    the drop list to the LIVE index via `operators.merge.apply_tombstones`
+    (exact df/idf/avgdl update + doc renumbering, NO re-tokenization — the
+    fold is bit-identical to a rebuild over kept docs) → retrieve. The
+    oracle recomputes BM25 over the kept docs only, so any statistics
+    drift in the tombstone fold would flip ranks and fail the hash."""
+    from .operators.dedup import (
+        connected_components,
+        dedup_drop_list,
+        minhash_lsh_candidates,
+    )
+    from .operators.indexing import build_index
+    from .operators.merge import apply_tombstones
+    from .operators.query import retrieve
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    idx = build_index(docs, id_col="doc_id", text_col="text")
+    sliced = docs.filter(F.col("doc_id") < MINHASH_MAX_DOC)
+    pairs = minhash_lsh_candidates(
+        sliced, n_hashes=N_MINHASH, rows_per_band=2, hash_fn="md5",
+        bucket_cap=None,
+    )
+    drops = (
+        dedup_drop_list(sliced, connected_components(pairs))
+        .filter(~F.col("keep"))
+        .select("doc_id")
+    )
+    deduped = apply_tombstones(idx, drops)
+    queries = spark.createDataFrame(BM25_QUERIES, "query_id string, text string")
+    res = retrieve(deduped, queries, k=TOPK, strategy="wand")
+    return res.select(
+        "query_id", F.col("rank").cast("int").alias("rank"),
+        F.col("doc_id").cast("bigint").alias("doc_id"),
     )
 
 
@@ -1442,6 +1548,66 @@ def media_byte_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_features(docs, id_col="doc_id", blob_col="payload").select(
         "media_id", "n_bytes", "byte_mean_milli", "byte_entropy_milli"
     )
+
+
+# real image decode: deterministic BMPs synthesized from a portable pixel
+# formula, decoded by the engine's pure-NumPy BMP decoder; the oracle
+# computes the same per-channel means analytically from the formula — an
+# encode or decode bug anywhere flips the hash
+BMP_N, BMP_FORMULA = 60, "(doc_id * 7919 + y * 131 + x * 17 + {c} * 29) % 256"
+
+
+@register(
+    "media_decoded_features",
+    f"""
+WITH d AS (
+  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+  FROM documents WHERE doc_id < {BMP_N}
+),
+cx AS (SELECT doc_id, w, h, unnest(range(w)) AS x FROM d),
+cells AS (SELECT doc_id, w, h, x, unnest(range(h)) AS y FROM cx)
+SELECT CAST(doc_id AS VARCHAR) AS media_id,
+       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(floor(avg({BMP_FORMULA.format(c=0)}) * 1000) AS BIGINT) AS mean_r_milli,
+       CAST(floor(avg({BMP_FORMULA.format(c=1)}) * 1000) AS BIGINT) AS mean_g_milli,
+       CAST(floor(avg({BMP_FORMULA.format(c=2)}) * 1000) AS BIGINT) AS mean_b_milli
+FROM cells GROUP BY doc_id, w, h
+""",
+)
+def media_decoded_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode exercised FOR REAL: deterministic 24-bit BMPs are
+    synthesized per doc (pixel = formula(doc_id, x, y, channel)), carried
+    as a binary column, decoded by `operators.multimodal._decode_bmp`
+    (pure NumPy — bottom-up rows, BGR, stride padding), and reduced to
+    decoded-dimension features by `image_features`. The oracle never sees
+    the bytes: it evaluates the pixel formula analytically, so the hash
+    pins the encoder AND decoder bit-for-bit."""
+    import numpy as np
+    import pandas as pd
+
+    from .operators.multimodal import encode_bmp, image_features
+
+    ids = _docs(spark, sf_dir).filter(F.col("doc_id") < BMP_N).select("doc_id")
+
+    def make_payloads(batches):
+        for pdf in batches:
+            blobs = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 4 + did % 5, 3 + did % 4
+                y, x, c = np.ogrid[:h, :w, :3]
+                px = ((did * 7919 + y * 131 + x * 17 + c * 29) % 256).astype(
+                    np.uint8
+                )
+                blobs.append(encode_bmp(px))
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"].astype(str), "payload": blobs}
+            )
+
+    imgs = ids.mapInPandas(
+        make_payloads, schema="media_id string, payload binary"
+    )
+    return image_features(imgs, id_col="media_id", blob_col="payload")
 
 
 # ---------------------------------------------------------------------------

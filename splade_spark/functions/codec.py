@@ -8,7 +8,15 @@ for delta+varint-compressed, impact-ordered posting lists. Layout:
   where gaps are deltas of the ASCENDING doc_idx sequence within a block
   (ascending-doc order within a block mirrors the reference's postings
   order, /root/reference/src/indexing/sparse_index.py:643-656).
-- ``weights``: raw little-endian float32, aligned 1:1 with the doc sequence.
+- ``weights``: raw little-endian float32 — or float16 when the index is
+  built with ``value_dtype="float16"`` (the reference's storage knob,
+  /root/reference/src/indexing/sparse_index.py:14-36 + script/index.py:88-94:
+  fp16 on disk, fp32 upcast when used). The block is self-describing:
+  decode infers the dtype from bytes-per-posting (2 vs 4), so every
+  consumer (query kernels, merge, shard splitter) upcasts transparently
+  and always sees float32. At 100 TB fp16 halves the dominant posting
+  payload for ~1e-3 relative weight error — rank-stable for all but
+  exact-tie neighborhoods (pinned by test_fp16_index).
 
 Both encode and decode are fully vectorized (bounded 10-iteration loops over
 byte positions, each step operating on whole arrays) so they are fast inside
@@ -74,21 +82,42 @@ def varint_decode(buf: bytes) -> np.ndarray:
     return values
 
 
-def encode_block(doc_idx: np.ndarray, weights: np.ndarray) -> tuple[bytes, bytes]:
-    """Encode one posting block. doc_idx MUST be strictly ascending."""
+def encode_block(
+    doc_idx: np.ndarray, weights: np.ndarray, value_dtype: str = "float32"
+) -> tuple[bytes, bytes]:
+    """Encode one posting block. doc_idx MUST be strictly ascending.
+
+    ``value_dtype``: "float32" (default) or "float16" (half-width storage;
+    weights are rounded to the nearest representable half — the
+    reference's fp16 storage mode)."""
     d = np.ascontiguousarray(doc_idx, dtype=np.int64)
     heads = np.empty(d.size, dtype=np.int64)
     if d.size:
         heads[0] = d[0]
         np.subtract(d[1:], d[:-1], out=heads[1:])
     gaps_bytes = varint_encode(heads)
-    w = np.ascontiguousarray(weights, dtype="<f4")
+    if value_dtype == "float16":
+        w = np.ascontiguousarray(weights, dtype="<f2")
+    elif value_dtype == "float32":
+        w = np.ascontiguousarray(weights, dtype="<f4")
+    else:
+        raise ValueError(
+            f"value_dtype must be float32 or float16, got {value_dtype!r}"
+        )
     return gaps_bytes, w.tobytes()
 
 
 def decode_block(doc_gaps: bytes, weights: bytes) -> tuple[np.ndarray, np.ndarray]:
-    """Decode a posting block back to (doc_idx int64 asc, weights float32)."""
+    """Decode a posting block back to (doc_idx int64 asc, weights float32).
+
+    Self-describing dtype: 2 bytes/posting is fp16 (upcast to f32 on the
+    way out — the reference's read path, script/index.py:88-94), 4 is f32.
+    Consumers therefore always see float32 regardless of the storage knob.
+    """
     gaps = varint_decode(doc_gaps).astype(np.int64)
     doc_idx = np.cumsum(gaps)
-    w = np.frombuffer(weights, dtype="<f4")
+    if doc_idx.size and len(weights) == 2 * doc_idx.size:
+        w = np.frombuffer(weights, dtype="<f2").astype("<f4")
+    else:
+        w = np.frombuffer(weights, dtype="<f4")
     return doc_idx, w

@@ -29,21 +29,38 @@ All top-k functions return ``(query_id, rank, <id_col>, cos)`` with the
 raw double cosine; callers needing hash-stable output round it (the
 driver-gated entries emit ``cos_micro``). Ties break by ascending id —
 deterministic across partitionings.
+
+``exclude_self`` defaults to "auto": ON when the queries are a predicate
+over the vector table itself (a query row trivially retrieves itself at
+cos=1), OFF when queries are an external DataFrame — an external id space
+can collide with corpus ids by coincidence, and silently dropping those
+corpus vectors was a round-3 ADVICE finding. Pass an explicit bool to
+override either way.
 """
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
 
 from splade_spark.functions.vector import dot, l2_norm
 
 
+def _resolve_exclude_self(exclude_self, queries) -> bool:
+    if exclude_self is None:
+        return isinstance(queries, Column)
+    return bool(exclude_self)
+
+
 def sign_lsh_bucket(vec_col: Column | str, n_bits: int) -> Column:
     """bigint bucket id from the sign bits of the first ``n_bits`` dims.
 
-    Axis-aligned hyperplanes (deterministic, no random projection matrix
-    to ship); bit i is set iff vec[i] > 0.
+    Axis-aligned hyperplanes (no projection matrix to ship, and — because
+    it is expressible in ANSI SQL — the DuckDB-portable variant the oracle
+    entries pin). On real (non-centered) embeddings axis-aligned planes
+    skew bucket balance; production paths should prefer
+    ``random_hyperplane_bucket``. Bit i is set iff vec[i] > 0.
     """
     vec = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     return F.aggregate(
@@ -54,6 +71,36 @@ def sign_lsh_bucket(vec_col: Column | str, n_bits: int) -> Column:
             F.element_at(vec, i + 1) > 0, F.pow(F.lit(2.0), i).cast("long")
         ).otherwise(F.lit(0).cast("long")),
     )
+
+
+def random_hyperplane_bucket(
+    vec_col: Column | str, n_bits: int, dim: int, seed: int = 0
+) -> Column:
+    """bigint bucket id from ``n_bits`` SEEDED random hyperplanes.
+
+    The projection matrix is drawn once, driver-side, from
+    ``numpy.random.RandomState(seed)`` (standard normal — rotation
+    invariant, so bucket balance does not depend on the embedding basis
+    the way axis-aligned planes do) and embedded as literal arrays: the
+    executors evaluate a pure Catalyst dot-product fold per plane, no
+    Python, no shipped state beyond the plan itself. Deterministic across
+    runs, partitionings, and cluster sizes for a given (n_bits, dim,
+    seed). Bit i is set iff vec · plane_i > 0.
+    """
+    vec = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    planes = np.random.RandomState(seed).standard_normal((n_bits, dim))
+    bucket = F.lit(0).cast("long")
+    for i in range(n_bits):
+        plane = F.array(*[F.lit(float(x)) for x in planes[i]])
+        proj = F.aggregate(
+            F.zip_with(vec, plane, lambda a, b: a.cast("double") * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(
+            proj > 0, F.lit(1 << i).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return bucket
 
 
 def _rank_topk(cos: DataFrame, k: int, id_col: str) -> DataFrame:
@@ -91,7 +138,7 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
-    exclude_self: bool = True,
+    exclude_self: bool | None = None,
 ) -> DataFrame:
     """Exact brute-force cosine top-k (W6 baseline; F5 dot, W1 top-k).
 
@@ -103,7 +150,7 @@ def cosine_topk(
     e = vectors.select(id_col, vec_col).withColumn("nrm", l2_norm(vec_col))
     q = _queries_from(e, queries, id_col, vec_col)
     pairs = e.crossJoin(F.broadcast(q))
-    if exclude_self:
+    if _resolve_exclude_self(exclude_self, queries):
         pairs = pairs.filter(F.col(id_col) != F.col("query_id"))
     cos = pairs.select(
         "query_id", id_col,
@@ -121,7 +168,10 @@ def lsh_topk(
     k: int = 3,
     n_bits: int = 8,
     multiprobe: bool = False,
-    exclude_self: bool = True,
+    exclude_self: bool | None = None,
+    hyperplanes: str = "axis",
+    dim: int | None = None,
+    seed: int = 0,
 ) -> DataFrame:
     """Sign-bit LSH approximate top-k; optionally multi-probe hamming-1.
 
@@ -130,17 +180,30 @@ def lsh_topk(
     side of) by bucket. With ``multiprobe`` each query also probes its
     ``n_bits`` hamming-1 neighbor buckets — the probe list is query-side
     rows (n_bits+1 per query), so the join shape is unchanged.
+
+    ``hyperplanes``: "axis" (portable sign-bit buckets — the oracle pin)
+    or "random" (seeded random projections via
+    ``random_hyperplane_bucket`` — better bucket balance on non-centered
+    embeddings; requires ``dim``).
     """
+    if hyperplanes == "random":
+        if dim is None:
+            raise ValueError("hyperplanes='random' requires dim")
+        bucket_col = random_hyperplane_bucket(vec_col, n_bits, dim, seed)
+    elif hyperplanes == "axis":
+        bucket_col = sign_lsh_bucket(vec_col, n_bits)
+    else:
+        raise ValueError(f"hyperplanes must be axis or random, got {hyperplanes!r}")
     e = (
         vectors.select(id_col, vec_col)
         .withColumn("nrm", l2_norm(vec_col))
-        .withColumn("bucket", sign_lsh_bucket(vec_col, n_bits))
+        .withColumn("bucket", bucket_col)
     )
     if isinstance(queries, Column):
         qsrc = e.filter(queries)
     else:
         qsrc = queries.withColumn("nrm", l2_norm(vec_col)).withColumn(
-            "bucket", sign_lsh_bucket(vec_col, n_bits)
+            "bucket", bucket_col
         )
     q = qsrc.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qe"),
@@ -162,7 +225,7 @@ def lsh_topk(
     else:
         probes = q.select("query_id", "qe", "qn", F.col("qb").alias("probe"))
     cond = F.col("bucket") == F.col("probe")
-    if exclude_self:
+    if _resolve_exclude_self(exclude_self, queries):
         cond = cond & (F.col(id_col) != F.col("query_id"))
     cand = e.join(F.broadcast(probes), cond)
     cos = cand.select(
@@ -272,7 +335,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     k: int = 5,
     nprobe: int = 3,
-    exclude_self: bool = True,
+    exclude_self: bool | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: probe ``nprobe`` centroid lists, exact
     cosine inside them.
@@ -293,7 +356,7 @@ def ivf_topk(
         qvecs, centroids, id_col=id_col, vec_col=vec_col, nearest=nprobe
     ).select(F.col(id_col).alias("query_id"), "cid")
     cand = probes.join(assign, "cid")
-    if exclude_self:
+    if _resolve_exclude_self(exclude_self, queries):
         cand = cand.filter(F.col(id_col) != F.col("query_id"))
     cand = cand.select("query_id", id_col)
     q = qvecs.select(

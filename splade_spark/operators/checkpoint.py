@@ -55,10 +55,25 @@ def _log_dir(out_dir: str) -> str:
 
 
 def read_build_log(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Read the commit log, reconciling schema generations: the timing
+    column was named ``wall_ms`` before round 3, and a log directory a
+    partial build wrote back then may receive post-rename appends — a
+    plain read samples ONE file's schema and can null out or drop the
+    column. mergeSchema unions both generations; the legacy column is
+    coalesced into ``run_wall_ms`` so resumes read one stable shape."""
     path = _log_dir(out_dir)
     if not os.path.isdir(path):
         return spark.createDataFrame([], schema=LOG_SCHEMA)
-    return spark.read.parquet(path)
+    log = spark.read.option("mergeSchema", "true").parquet(path)
+    if "wall_ms" in log.columns:
+        if "run_wall_ms" in log.columns:
+            log = log.withColumn(
+                "run_wall_ms", F.coalesce("run_wall_ms", "wall_ms")
+            )
+        else:
+            log = log.withColumn("run_wall_ms", F.col("wall_ms"))
+        log = log.drop("wall_ms")
+    return log
 
 
 def committed_buckets(spark: SparkSession, out_dir: str) -> dict[int, int]:

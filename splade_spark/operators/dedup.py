@@ -15,12 +15,17 @@ Two hash families ship:
   the driver-gated `minhash_band_pairs` entry query is this operator pinned
   at (n_hashes=8, rows_per_band=2, hash_fn="md5").
 
-Scale guard: `bucket_cap` drops band buckets holding more than `cap` docs
-before the self-join. A giant bucket is boilerplate (licence headers,
-navigation chrome) whose pair-count grows quadratically; at 100 TB one such
-bucket would dominate the whole job. Capped buckets are the analogue of the
-df-capped shingles in the Jaccard verifier — handle boilerplate clusters
-with a dedicated grouping pass, not inside the pair join.
+Scale guard: `bucket_cap` keeps band buckets holding more than `cap` docs
+OUT of the quadratic self-join. A giant bucket is boilerplate (licence
+headers, navigation chrome) whose pair-count grows quadratically; at
+100 TB one such bucket would dominate the whole job. Over-cap bucket
+members are NOT discarded (a round-3 finding): they are routed through a
+dedicated linear grouping pass — docs whose FULL minhash signature is
+identical form a group, emitted as star edges to the group's min id —
+so a 5,000-doc boilerplate family still resolves to one cluster at
+O(n) edges instead of O(n^2) pairs. Members of an over-cap bucket whose
+full signatures differ can still pair through their other (under-cap)
+bands; only the over-cap bucket itself is exempted from pairing.
 """
 
 from __future__ import annotations
@@ -141,16 +146,39 @@ def minhash_lsh_candidates(
         # cached plans
         .localCheckpoint(eager=True)
     )
+    star_pairs = None
     if bucket_cap is not None:
-        ok = (
-            bands.groupBy("band", "bh")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .filter(F.col("n") <= bucket_cap)
-            .select("band", "bh")
+        bcounts = bands.groupBy("band", "bh").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        over = bcounts.filter(F.col("n") > bucket_cap).select("band", "bh")
+        ok = bcounts.filter(F.col("n") <= bucket_cap).select("band", "bh")
+        # boilerplate pass: members of over-cap buckets group by their FULL
+        # minhash signature (hash over all band hashes, band-ordered) —
+        # identical signatures are near-identical docs by construction, and
+        # star edges to the group's min id keep the edge count linear
+        over_ids = (
+            bands.join(over, ["band", "bh"], "left_semi")
+            .select("id").distinct()
+        )
+        sig_parts = F.transform(
+            F.sort_array(F.collect_list(F.struct("band", "bh"))),
+            lambda s: s["bh"].cast("string"),
+        )
+        fullsig = (
+            bands.join(over_ids, "id", "left_semi")
+            .groupBy("id")
+            .agg(F.md5(F.array_join(sig_parts, "|")).alias("sig"))
+        )
+        heads = fullsig.groupBy("sig").agg(F.min("id").alias("doc_a"))
+        star_pairs = (
+            fullsig.join(heads, "sig")
+            .filter(F.col("id") != F.col("doc_a"))
+            .select("doc_a", F.col("id").alias("doc_b"))
         )
         bands = bands.join(ok, ["band", "bh"], "left_semi")
     a, b = bands.alias("a"), bands.alias("b")
-    return (
+    pairs = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -158,8 +186,10 @@ def minhash_lsh_candidates(
         )
         .filter(F.col("a.id") < F.col("b.id"))
         .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
-        .distinct()
     )
+    if star_pairs is not None:
+        pairs = pairs.unionByName(star_pairs)
+    return pairs.distinct()
 
 
 def connected_components(
@@ -175,11 +205,14 @@ def connected_components(
     Iterative hash-partitioned min-label propagation — no graph-library
     dependency. Each iteration is ONE shuffle: propagate every node's
     current label across its edges (a hash join on the edge endpoint),
-    then take the per-node min (partial aggregation runs map-side). Labels
-    only ever decrease, so ``sum(label)`` is a monotone convergence metric:
-    when it stops changing, no label changed and the fixpoint is reached
-    (one scalar agg per iteration, no change-detection join). Sums are
-    accumulated in DECIMAL(38,0) so the check is exact at any id range.
+    then take the per-node min (partial aggregation runs map-side).
+    Convergence is an EXACT changed-row count that is id-type agnostic
+    (numeric doc_idx, URL strings, uuids — anything orderable): each
+    node's previous label rides the same union/groupBy shuffle as a
+    ``min(when(self))`` side-aggregate, so ``count(label != old)`` needs
+    no extra join and no numeric cast. (An earlier revision summed labels
+    CAST to DECIMAL(38,0); on string ids that cast crashes under ANSI
+    mode and silently yields NULL==NULL "convergence" without it.)
 
     Each iteration's labels are localCheckpoint-ed: lineage would otherwise
     grow linearly with iterations and re-execute the whole history on every
@@ -193,7 +226,7 @@ def connected_components(
     the corpus (see ``dedup_drop_list``) to give singletons their identity
     cluster.
     """
-    # lazy localCheckpoints: the convergence agg below is the single
+    # lazy localCheckpoints: the changed-count below is the single FULL
     # action per iteration and materializes the checkpoint as it runs —
     # one Spark job per propagation round, not two
     edges = (
@@ -208,23 +241,26 @@ def connected_components(
         .select("id", F.col("id").alias("label"))
         .localCheckpoint(eager=False)
     )
-    metric = F.sum(F.col("label").cast("decimal(38,0)"))
-    prev = labels.agg(metric).first()[0]
     for _ in range(max_iter):
         nbr = edges.join(
             labels.withColumnRenamed("id", "a"), "a"
-        ).select(F.col("b").alias("id"), "label")
+        ).select(F.col("b").alias("id"), "label", F.lit(False).alias("_self"))
         new_labels = (
-            labels.unionByName(nbr)
+            labels.select("id", "label", F.lit(True).alias("_self"))
+            .unionByName(nbr)
             .groupBy("id")
-            .agg(F.min("label").alias("label"))
+            .agg(
+                F.min("label").alias("label"),
+                # every id has exactly one self row (labels ids are unique),
+                # so this min IS the previous label
+                F.min(F.when(F.col("_self"), F.col("label"))).alias("_old"),
+            )
             .localCheckpoint(eager=False)
         )
-        cur = new_labels.agg(metric).first()[0]
-        labels = new_labels
-        if cur == prev:
+        changed = new_labels.filter(F.col("label") != F.col("_old")).count()
+        labels = new_labels.select("id", "label")
+        if changed == 0:
             return labels.select("id", F.col("label").alias("cluster_id"))
-        prev = cur
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} iterations"
     )

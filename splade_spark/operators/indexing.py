@@ -470,6 +470,7 @@ def _assemble(
         "max_tokens": cfg.max_tokens,
         "min_weight": cfg.min_weight,
         "top_k_terms": cfg.top_k_terms,
+        "value_dtype": cfg.value_dtype,
         "exclude_terms": list(cfg.exclude_terms),
         "tokenizer": "lower_alnum_v1",
         "weighting": weighting,
@@ -491,6 +492,7 @@ def build_posting_blocks(
     reducers — this IS the salted repartition-by-term + skew split.
     """
     bs = int(cfg.block_size)
+    vdt = str(cfg.value_dtype)
     # n_blocks = ceil(df / block_size); range_per_block = ceil(n_docs / n_blocks)
     blocks = weighted.withColumn(
         "_nb", F.ceil(F.col("df") / F.lit(bs)).cast("long")
@@ -513,7 +515,8 @@ def build_posting_blocks(
         gaps_out, w_out = [], []
         for d, w in zip(docs, ws):
             g, wb = encode_block(
-                np.asarray(d, dtype=np.int64), np.asarray(w, dtype=np.float32)
+                np.asarray(d, dtype=np.int64), np.asarray(w, dtype=np.float32),
+                value_dtype=vdt,
             )
             gaps_out.append(g)
             w_out.append(wb)

@@ -68,6 +68,7 @@ def cfg_from_meta(meta: dict) -> EngineConfig:
         k1=float(meta["k1"]),
         b=float(meta["b"]),
         block_size=int(meta["block_size"]),
+        value_dtype=str(meta.get("value_dtype", "float32")),
         index_partitions=int(meta["index_partitions"]),
     )
 
@@ -150,6 +151,13 @@ def _check_invertible(meta: dict) -> None:
             f"{meta['max_tokens']}) — capped-away postings cannot be "
             "reconstructed"
         )
+    if meta.get("value_dtype", "float32") != "float32":
+        raise ValueError(
+            "merge: index stores "
+            f"{meta['value_dtype']} weights — the exact tf inversion "
+            "needs float32 precision (fp16 rounding exceeds the integer-"
+            "rounding margin); rebuild instead of folding"
+        )
 
 
 def merge_index_with_tf(
@@ -219,6 +227,95 @@ def merge_index_with_tf(
     tf_all.unpersist()
     doc_len.unpersist()
     return merged
+
+
+def apply_tombstones(
+    index: InvertedIndex,
+    drop_ids: DataFrame,
+    id_col: str = "doc_id",
+) -> InvertedIndex:
+    """Remove documents from a built index WITHOUT re-processing the
+    surviving corpus — the operation a dedup/curation loop runs most
+    (find duplicates with ``dedup_drop_list`` → drop them from the live
+    index).
+
+    Exactness: equals ``build_index(kept docs)`` bit-for-bit. Removing
+    docs changes n_docs, avgdl and every term's df — so idf shifts for
+    EVERY term and the length-normalization K for EVERY posting; exact
+    BM25 semantics bake those corpus statistics into each stored impact,
+    so no decode-only-touched-blocks shortcut exists for the weights.
+    What the tombstone fold skips vs a rebuild is the two costs that
+    dominate at corpus scale: re-tokenizing every surviving document
+    (CPU) and the corpus-wide doc_id STRING range-sort (shuffle):
+
+    - exact integer tf comes back from the stored impacts
+      (``reconstruct_tf`` — narrow block decode + two int-keyed
+      equi-joins, no tokenizer);
+    - kept docs renumber by ranking their OLD doc_idx (an 8-byte long):
+      build numbering is rank of doc_id ascending, and rank order is
+      preserved under subset removal, so ranking the kept old indexes
+      reproduces the rebuild's doc_idx assignment while the range-sort
+      moves longs instead of URL strings;
+    - the dictionary / stats / block passes rerun over kept postings
+      only — the irreducible work.
+
+    ``drop_ids`` is a one-column DataFrame of doc_ids to REMOVE (e.g.
+    ``dedup_drop_list(...).filter(~F.col("keep")).select("doc_id")``).
+    Ids not present in the index are ignored; an empty effective drop
+    set returns the input index unchanged; dropping every doc raises.
+    Same invertibility preconditions as the append fold
+    (``_check_invertible``). The rebuilt doc_ids/metadata follow the
+    surviving corpus exactly — the reference's index artifact contract
+    (/root/reference/src/indexing/sparse_index.py:437-452).
+    """
+    meta = index.meta
+    _check_invertible(meta)
+    cfg = cfg_from_meta(meta)
+    spark = index.postings.sparkSession
+
+    drop = drop_ids.select(
+        F.col(id_col).cast("string").alias("doc_id")
+    ).distinct()
+    kept = index.doc_dim.join(drop, "doc_id", "left_anti").persist()
+    row = kept.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("tt")
+    ).collect()[0]
+    n_kept, tt_kept = int(row["n"]), int(row["tt"] or 0)
+    if n_kept == 0:
+        kept.unpersist()
+        raise ValueError(
+            "apply_tombstones: drop list removes every document"
+        )
+    if n_kept == int(meta["n_docs"]):
+        kept.unpersist()
+        return index
+    stats = (n_kept, tt_kept / n_kept, tt_kept)
+    n_part = max(4, min(
+        int(cfg.index_partitions),
+        -(-n_kept // max(1, int(cfg.docs_per_partition))),
+    ))
+
+    remap = assign_global_ids(
+        kept.select(F.col("doc_idx").alias("_old_idx"), "doc_id", "dl"),
+        key="_old_idx", id_col="doc_idx", num_partitions=n_part,
+    ).persist()
+    doc_dim = remap.select("doc_idx", "doc_id", "dl")
+    tf_kept = (
+        reconstruct_tf(index)
+        .withColumnRenamed("doc_idx", "_old_idx")
+        .join(remap.select("_old_idx", "doc_idx"), "_old_idx")
+        .select("doc_idx", "dl", "term", "tf")
+        .persist()
+    )
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n_part))
+    try:
+        out = _finish_classic(tf_kept, doc_dim, stats, cfg, n_part)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+    tf_kept.unpersist()
+    kept.unpersist()
+    return out
 
 
 def merge_index_with_docs(

@@ -170,9 +170,15 @@ def fold_new_batches(
     batch raises rather than silently double-indexing (the per-batch
     dynamic-overwrite commit already makes RETRIES of the same batch
     idempotent; a logically duplicated doc across batches is a data bug
-    worth surfacing). Exactness: fold ≡ rebuild-over-all-shards, per the
-    merge module's contract, since streaming doc_ids arrive in
-    append order per the file-source's monotone batch ids."""
+    worth surfacing). Exactness follows the merge module's contract:
+    SCORES are always identical to a rebuild-over-all-shards; doc_idx
+    assignment (and therefore exact-score TIE-BREAK order) additionally
+    matches the rebuild only when each batch's doc_ids sort after every
+    already-indexed doc_id in string order — batch-id monotonicity does
+    NOT order doc_id strings, so a later batch whose ids sort earlier
+    gets append numbering that a rebuild would interleave (round-3
+    ADVICE). Sources whose ids embed a monotone prefix (crawl timestamp,
+    zero-padded sequence) satisfy the stronger bit-identical case."""
     from ..operators.merge import merge_index_with_tf
 
     seen = set(index.meta.get("streamed_batches", []))

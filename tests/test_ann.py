@@ -18,6 +18,7 @@ from splade_spark.operators.ann import (
     cosine_topk,
     ivf_topk,
     lsh_topk,
+    random_hyperplane_bucket,
     sign_lsh_bucket,
     train_kmeans_centroids,
 )
@@ -153,3 +154,61 @@ def test_sign_bucket_range(vec_df):
     n_bits = 5
     rows = vec_df.select(sign_lsh_bucket("embedding", n_bits).alias("b")).collect()
     assert all(0 <= r["b"] < 2**n_bits for r in rows)
+
+
+def test_exclude_self_auto_respects_external_id_collisions(spark, vec_df, vec_np):
+    """Round-3 ADVICE: external query ids that happen to collide with
+    corpus ids must NOT drop those corpus vectors under the default."""
+    qv = vec_np[:2] * 0.5
+    qdf = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(qv)],  # ids 0/1 collide
+        "vec_id int, embedding array<float>",
+    )
+    top = {
+        r["query_id"]: r["vec_id"]
+        for r in cosine_topk(vec_df, qdf, k=1).collect()  # auto default
+    }
+    # nearest corpus vector to a scaled copy of v_i is v_i — the colliding
+    # id must still be retrievable
+    assert top == {0: 0, 1: 1}
+
+
+def test_random_hyperplane_bucket_deterministic_and_balanced(vec_df, vec_np):
+    n_bits = 6
+    cols = random_hyperplane_bucket("embedding", n_bits, DIM, seed=3)
+    a = [r["b"] for r in vec_df.select(cols.alias("b")).collect()]
+    b = [r["b"] for r in vec_df.select(
+        random_hyperplane_bucket("embedding", n_bits, DIM, seed=3).alias("b")
+    ).collect()]
+    assert a == b  # deterministic for a fixed seed
+    assert all(0 <= x < 2**n_bits for x in a)
+    # matches the NumPy projection exactly
+    planes = np.random.RandomState(3).standard_normal((n_bits, DIM))
+    want = [
+        int(sum((1 << i) for i in range(n_bits)
+                if float(v.astype("float64") @ planes[i]) > 0))
+        for v in vec_np
+    ]
+    assert a == want
+    # a different seed produces a different bucketing
+    c = [r["b"] for r in vec_df.select(
+        random_hyperplane_bucket("embedding", n_bits, DIM, seed=4).alias("b")
+    ).collect()]
+    assert a != c
+
+
+def test_lsh_random_hyperplanes_end_to_end(vec_df):
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in cosine_topk(vec_df, F.col("vec_id") < 8, k=3).collect()
+    }
+    got = {
+        (r["query_id"], r["vec_id"])
+        for r in lsh_topk(
+            vec_df, F.col("vec_id") < 8, k=3, n_bits=6,
+            hyperplanes="random", dim=DIM, multiprobe=True,
+        ).collect()
+    }
+    assert len(got & exact) / len(exact) > 0.3  # sane recall on fixtures
+    with pytest.raises(ValueError, match="dim"):
+        lsh_topk(vec_df, F.col("vec_id") < 8, hyperplanes="random")

@@ -112,3 +112,30 @@ def test_build_log_metrics(spark, docs_df, tmp_path_factory):
         for r in read_build_log(spark, out2).collect()
     }
     assert fp1 == fp2
+
+
+def test_legacy_wall_ms_log_resumes_cleanly(spark, docs_df, tmp_path):
+    """Round-3 ADVICE: a build_log written by the pre-rename version
+    (column `wall_ms`) that later receives post-rename appends is a
+    mixed-schema parquet directory; read_build_log must merge the
+    generations and surface one non-null `run_wall_ms`."""
+    out = str(tmp_path / "legacy")
+    # half the buckets committed under the LEGACY schema
+    legacy_schema = (
+        "bucket INT, input_fingerprint BIGINT, doc_count BIGINT, nnz BIGINT, "
+        "wall_ms BIGINT, status STRING, attempt INT"
+    )
+    spark.createDataFrame(
+        [(b, 0, 0, 0, 111, "committed", 1) for b in range(2)],
+        schema=legacy_schema,
+    ).coalesce(1).write.mode("append").parquet(f"{out}/build_log")
+    # resume with the current version: must skip legacy-committed buckets
+    s = encode_corpus_resumable(docs_df, out, n_buckets=N_BUCKETS, cfg=CFG)
+    assert s["skipped_buckets"] == [0, 1]
+    assert s["processed_buckets"] == list(range(2, N_BUCKETS))
+    log = read_build_log(spark, out)
+    assert "wall_ms" not in log.columns
+    rows = log.select("bucket", "run_wall_ms").collect()
+    assert len(rows) == N_BUCKETS
+    assert all(r["run_wall_ms"] is not None for r in rows)
+    assert committed_buckets(spark, out) == {b: 1 for b in range(N_BUCKETS)}

@@ -73,18 +73,47 @@ def test_wider_bands_are_stricter(docs_df):
     assert (1, 3) in loose  # near-dup caught at the loose operating point
 
 
-def test_bucket_cap_drops_boilerplate_cluster(spark):
+def test_bucket_cap_routes_boilerplate_to_star_edges(spark):
     boiler = [(i, "standard licence header text repeated on every page") for i in range(20)]
     uniq = [(100, "one genuinely unique document body about inverted indexes qq"),
             (101, "one genuinely unique document body about inverted indexes qq")]
     df = spark.createDataFrame(boiler + uniq, "doc_id int, text string")
     capped = minhash_lsh_candidates(df, n_hashes=8, rows_per_band=2, bucket_cap=10)
     pairs = {tuple(r) for r in capped.collect()}
-    # the 20-doc boilerplate bucket (190 pairs) is dropped; the pair of
-    # unique dups survives in its own small bucket
-    assert pairs == {(100, 101)}
+    # the 20-doc boilerplate bucket (190 quadratic pairs) is exempted from
+    # the self-join but NOT discarded: identical full signatures emit 19
+    # linear star edges to the min id, so the family still clusters
+    assert pairs == {(100, 101)} | {(0, i) for i in range(1, 20)}
     uncapped = minhash_lsh_candidates(df, n_hashes=8, rows_per_band=2, bucket_cap=None)
     assert uncapped.count() == 190 + 1
+
+
+def test_bucket_cap_boilerplate_family_resolves_to_one_cluster(spark):
+    """Round-3 verdict criterion: a 5,000-doc boilerplate family above
+    bucket_cap still resolves to ONE cluster (with linear edge count)."""
+    fam = [(i, "copyright footer navigation chrome repeated across the site mirror")
+           for i in range(5000)]
+    other = [(9000, "a unique technical article about columnar shuffle planning")]
+    df = spark.createDataFrame(fam + other, "doc_id int, text string")
+    got = deduplicate_corpus(
+        df, n_hashes=8, rows_per_band=2, bucket_cap=100
+    ).collect()
+    by_doc = {r["doc_id"]: (r["cluster_id"], r["keep"]) for r in got}
+    assert all(by_doc[i] == (0, i == 0) for i in range(5000))
+    assert by_doc[9000] == (9000, True)
+
+
+def test_cc_string_ids(spark):
+    """Canonical ids are strings at web scale (urls); the convergence
+    check must be id-type agnostic (round-3 ADVICE: the old DECIMAL cast
+    crashed under ANSI mode / silently mis-converged without it)."""
+    pairs = spark.createDataFrame(
+        [("url://b", "url://a"), ("url://c", "url://b"),
+         ("url://d", "url://c")],
+        "doc_a string, doc_b string",
+    )
+    got = {r["id"]: r["cluster_id"] for r in connected_components(pairs).collect()}
+    assert got == {f"url://{c}": "url://a" for c in "abcd"}
 
 
 def test_param_validation(docs_df):

@@ -105,3 +105,63 @@ def test_expanded_retrieval_matches_weighted_oracle(spark, docs_df, corpus):
             for (_, _, s_got), (_, s_exp) in zip(mine, expected):
                 assert np.isclose(s_got, s_exp, rtol=1e-5)
     idx.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# Pooling-mode x activation grid (reference splade.py:11-40,69-87 parity)
+# ---------------------------------------------------------------------------
+
+from splade_spark.functions.expander import (  # noqa: E402
+    ACTIVATIONS,
+    _expand_pooled_one_py,
+    expand_terms_pooled,
+)
+
+
+@pytest.mark.parametrize("activation", ACTIVATIONS)
+@pytest.mark.parametrize("mode", [0.0, 0.25, 1.0])
+def test_pooled_grid_matches_py_oracle(spark, docs_df, corpus, mode, activation):
+    """Spark Column plan == per-doc Python oracle across the full
+    (pooling_mode, activation) grid, float32-exact."""
+    pages, _ = corpus
+    sub = docs_df.limit(40)
+    got = {}
+    for r in expand_terms_pooled(
+        sub, pooling_mode=mode, activation=activation
+    ).collect():
+        got.setdefault(r["doc_id"], {})[r["term"]] = np.float32(r["weight"])
+    texts = {r["doc_id"]: r["text"] for r in sub.collect()}
+    for did, text in texts.items():
+        want = {
+            t: np.float32(w)
+            for t, w in _expand_pooled_one_py(text, 256, mode, activation).items()
+        }
+        assert got.get(did, {}) == want, (did, mode, activation)
+
+
+def test_pooled_mode_one_is_max_mode_zero_is_sum(spark, docs_df):
+    """mode=1 weight for a dim == max contribution; mode=0 == tf-weighted
+    sum — spot-checked via a hand doc where identity and expansion dims
+    are disjoint."""
+    df = spark.createDataFrame(
+        [("d1", "alpha alpha beta")], "doc_id string, text string"
+    )
+    mx = {r["term"]: r["weight"] for r in expand_terms_pooled(
+        df, pooling_mode=1.0, activation="relu").collect()}
+    sm = {r["term"]: r["weight"] for r in expand_terms_pooled(
+        df, pooling_mode=0.0, activation="relu").collect()}
+    py_mx = _expand_pooled_one_py("alpha alpha beta", 256, 1.0, "relu")
+    py_sm = _expand_pooled_one_py("alpha alpha beta", 256, 0.0, "relu")
+    assert {t: np.float32(w) for t, w in py_mx.items()} == {
+        t: np.float32(w) for t, w in mx.items()}
+    assert {t: np.float32(w) for t, w in py_sm.items()} == {
+        t: np.float32(w) for t, w in sm.items()}
+    # tf=2 for alpha: sum pooling doubles the identity contribution
+    assert sm["alpha"] == pytest.approx(2 * mx["alpha"], rel=1e-6)
+
+
+def test_pooled_validation():
+    with pytest.raises(ValueError, match="activation"):
+        _expand_pooled_one_py("x", 256, 1.0, "gelu")
+    with pytest.raises(ValueError, match="pooling_mode"):
+        _expand_pooled_one_py("x", 256, 1.5, "relu")

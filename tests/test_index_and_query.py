@@ -169,3 +169,52 @@ def test_tf_backends_identical(spark, corpus, spark_index, backend, monkeypatch)
     a = sorted(tuple(r) for r in spark_index.postings.select(*cols).collect())
     b = sorted(tuple(r) for r in alt.postings.select(*cols).collect())
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# fp16 posting weights (reference encoding.value_dtype parity)
+# ---------------------------------------------------------------------------
+
+def test_fp16_index(spark, corpus, spark_index):
+    """value_dtype="float16": same block structure at half the weight
+    bytes, decode upcasts to f32, and retrieval obeys the tolerance
+    contract — every returned score within fp16 rounding of the f32
+    index's score for the same (query, doc), and top-k doc sets nearly
+    identical (divergence only where fp16 rounding crosses a near-tie)."""
+    from splade_spark.functions.codec import decode_block
+    from splade_spark.operators.merge import apply_tombstones
+
+    pages, queries = corpus
+    docs = spark.createDataFrame(pages[["url", "text"]])
+    cfg16 = EngineConfig(block_size=64, index_partitions=4,
+                         value_dtype="float16")
+    idx16 = build_index(docs, id_col="url", text_col="text", cfg=cfg16)
+    assert idx16.meta["value_dtype"] == "float16"
+
+    b32 = {(r["term_id"], r["block_id"]): r for r in spark_index.postings.collect()}
+    b16 = {(r["term_id"], r["block_id"]): r for r in idx16.postings.collect()}
+    assert b32.keys() == b16.keys()  # identical block structure
+    bytes32 = sum(len(r["weights"]) for r in b32.values())
+    bytes16 = sum(len(r["weights"]) for r in b16.values())
+    assert bytes16 * 2 == bytes32  # exactly half the weight payload
+    # decode upcasts: float32 out, values within half-precision rounding
+    kk = next(iter(b32))
+    d32, w32 = decode_block(b32[kk]["doc_gaps"], b32[kk]["weights"])
+    d16, w16 = decode_block(b16[kk]["doc_gaps"], b16[kk]["weights"])
+    assert w16.dtype == np.float32
+    assert (d32 == d16).all()
+    assert np.allclose(w16, w32, rtol=1e-3, atol=1e-4)
+
+    qdf = spark.createDataFrame(queries[["query_id", "text"]])
+    r32 = retrieve(spark_index, qdf, k=K, strategy="wand").collect()
+    r16 = retrieve(idx16, qdf, k=K, strategy="wand").collect()
+    s32 = {(r["query_id"], r["doc_id"]): r["score"] for r in r32}
+    s16 = {(r["query_id"], r["doc_id"]): r["score"] for r in r16}
+    # score tolerance on the intersection
+    common = s32.keys() & s16.keys()
+    assert len(common) >= 0.9 * len(s32)  # top-k sets ≥90% identical
+    for key in common:
+        assert abs(s16[key] - s32[key]) <= 2e-3 * abs(s32[key]) + 1e-4, key
+    # fp16 indexes refuse the exact-inversion folds
+    with pytest.raises(ValueError, match="float32 precision"):
+        apply_tombstones(idx16, docs.limit(3).select(F.col("url").alias("doc_id")))

@@ -15,6 +15,7 @@ from splade_spark.fixtures import gen_pages, gen_queries
 from splade_spark.functions.codec import decode_block
 from splade_spark.operators.indexing import build_index, doc_term_frequencies
 from splade_spark.operators.merge import (
+    apply_tombstones,
     merge_index_with_docs,
     merge_index_with_tf,
     reconstruct_tf,
@@ -133,6 +134,56 @@ def test_fold_guards(spark, corpus):
     )
     with pytest.raises(ValueError, match="cap"):
         merge_index_with_docs(capped, new, id_col="url", text_col="text")
+
+
+def test_tombstone_fold_equals_rebuild_on_kept(spark, corpus):
+    """Round-3 verdict criterion: applying a drop list to a built index
+    must equal rebuilding from the kept docs — bit-identical artifacts
+    (doc renumbering, term ids, df/idf, avgdl, float32 block weights)."""
+    full, _, _ = corpus
+    idx = build_index(full, id_col="url", text_col="text", cfg=CFG)
+    # drop a scattered, non-contiguous subset (stresses the renumbering)
+    drops = full.filter(
+        (F.crc32(F.col("url")) % 5 == 0) | (F.col("url").endswith("7"))
+    ).select(F.col("url").alias("doc_id"))
+    n_drop = drops.count()
+    assert 0 < n_drop < N_DOCS
+
+    folded = apply_tombstones(idx, drops)
+    kept_docs = full.join(
+        drops.withColumnRenamed("doc_id", "url"), "url", "left_anti"
+    )
+    rebuilt = build_index(kept_docs, id_col="url", text_col="text", cfg=CFG)
+
+    assert folded.meta["n_docs"] == rebuilt.meta["n_docs"] == N_DOCS - n_drop
+    assert folded.meta["avgdl"] == pytest.approx(rebuilt.meta["avgdl"], rel=1e-12)
+    assert folded.meta["nnz"] == rebuilt.meta["nnz"]
+    assert _index_state(folded) == _index_state(rebuilt)
+
+    queries = spark.createDataFrame(
+        gen_queries(10, gen_pages(N_DOCS, seed=91), seed=93)[["query_id", "text"]]
+    )
+    got = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], np.float32(r["score"]).tobytes())
+        for r in retrieve(folded, queries, k=10, strategy="wand").collect()
+    )
+    want = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], np.float32(r["score"]).tobytes())
+        for r in retrieve(rebuilt, queries, k=10, strategy="wand").collect()
+    )
+    assert got == want
+
+
+def test_tombstone_guards(spark, corpus):
+    _, old, _ = corpus
+    idx = build_index(old, id_col="url", text_col="text", cfg=CFG)
+    # unknown ids ignored; empty effective drop set returns index unchanged
+    ghost = spark.createDataFrame([("nosuch://url",)], "doc_id string")
+    same = apply_tombstones(idx, ghost)
+    assert same is idx
+    # dropping everything raises
+    with pytest.raises(ValueError, match="every document"):
+        apply_tombstones(idx, idx.doc_dim.select("doc_id"))
 
 
 def test_inversion_exact_over_weight_grid():

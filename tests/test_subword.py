@@ -16,8 +16,10 @@ from pyspark.sql import functions as F
 
 from splade_spark.fixtures import gen_pages
 from splade_spark.functions.subword import (
+    UNK,
     build_subword_vocab,
     split_word,
+    split_word_wordpiece,
     subword_tf,
 )
 from splade_spark.functions.tokenize import tokenize_py
@@ -70,6 +72,96 @@ def test_split_word_semantics():
     # unknown character stops the walk (mirrors the SQL join semantics)
     assert split_word("unzzz", v, 8) == ["un"]
     assert split_word("", v, 8) == []
+
+
+def _hf_wordpiece_oracle(word, vocab, max_input_chars_per_word=100):
+    """Independent reimplementation of the published HF WordpieceTokenizer
+    algorithm (BERT tokenization paper / transformers source semantics):
+    whole-word [UNK] on overlength or any dead-end; greedy longest match;
+    '##' lookup prefix for non-initial positions."""
+    if len(word) > max_input_chars_per_word:
+        return ["[UNK]"]
+    is_bad, start, sub_tokens = False, 0, []
+    while start < len(word):
+        end, cur = len(word), None
+        while start < end:
+            substr = word[start:end]
+            if start > 0:
+                substr = "##" + substr
+            if substr in vocab:
+                cur = substr
+                break
+            end -= 1
+        if cur is None:
+            is_bad = True
+            break
+        sub_tokens.append(cur)
+        start = end
+    return ["[UNK]"] if is_bad else sub_tokens
+
+
+def test_wordpiece_split_matches_hf_rules():
+    """Round-3 verdict item 6: byte-identical segmentation vs HF
+    WordPiece rules on a hand-built vocab, including the ## continuation
+    marker, whole-word [UNK] fallback, and the 100-char cap."""
+    v = frozenset({"un", "##related", "##rel", "##ated", "##a", "##ted",
+                   "rel", "related", "want", "##ed", "wa", "##nt",
+                   "x", "##x", "q"})
+    words = ["unrelated", "related", "wanted", "want", "unrelatedz",
+             "zebra", "x", "xx", "xxx", "q", "qx", "" , "unx",
+             "relatedrelated", "x" * 100, "x" * 101]
+    for w in words:
+        if not w:
+            continue
+        assert split_word_wordpiece(w, v) == _hf_wordpiece_oracle(w, v), w
+    # spot-check the interesting shapes explicitly
+    assert split_word_wordpiece("unrelated", v) == ["un", "##related"]
+    assert split_word_wordpiece("unrelatedz", v) == [UNK]  # dead-end → whole-word UNK
+    assert split_word_wordpiece("zebra", v) == [UNK]        # bad first char
+    assert split_word_wordpiece("xx", v) == ["x", "##x"]
+    assert split_word_wordpiece("x" * 101, v) == [UNK]      # overlength
+
+
+def test_wordpiece_vocab_and_tf_end_to_end(spark, docs_df):
+    """Corpus-built wordpiece vocab + subword_tf(style='wordpiece') ≡ the
+    HF-rules python oracle per word; in-corpus text never hits [UNK] at
+    word-initial chars (single-char coverage in both forms)."""
+    vocab = build_subword_vocab(
+        docs_df, max_piece_len=SW_LEN, vocab_size=SW_V, style="wordpiece"
+    ).persist()
+    vset = frozenset(r["piece"] for r in vocab.collect())
+    # continuation pieces really exist and are marked
+    assert any(p.startswith("##") for p in vset)
+    got = {
+        (r["doc_id"], r["term"]): r["tf"]
+        for r in subword_tf(
+            docs_df, vocab, max_piece_len=SW_LEN, style="wordpiece"
+        ).collect()
+    }
+    want: dict[tuple, int] = {}
+    for r in docs_df.collect():
+        for w in tokenize_py(r["text"]):
+            for piece in _hf_wordpiece_oracle(w, vset):
+                key = (r["doc_id"], piece)
+                want[key] = want.get(key, 0) + 1
+    assert got == want
+    vocab.unpersist()
+
+
+def test_vocab_top_cut_equals_global_ranking(docs_df, vocab):
+    """The distributed TakeOrdered cut must equal the global
+    (freq desc, piece asc) ranking the old single-task window produced."""
+    counts: dict[str, int] = {}
+    for r in docs_df.select("text").collect():
+        for w in tokenize_py(r["text"]):
+            for s in range(len(w)):
+                for ln in range(1, SW_LEN + 1):
+                    if s + ln <= len(w):
+                        p = w[s:s + ln]
+                        counts[p] = counts.get(p, 0) + 1
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    want = {p for p, _ in ranked[:SW_V]} | {p for p in counts if len(p) == 1}
+    assert {r["piece"] for r in vocab.collect()} == want
 
 
 def test_subword_tf_matches_python(spark, docs_df, vocab):
