@@ -31,8 +31,24 @@ def main() -> int:
 
     spark = get_spark(master="local[8]", shuffle_partitions=8)
     pages = gen_pages(n_docs, seed=77)
-    queries = gen_queries(n_queries, pages, seed=78)
-    qrels = gen_qrels(queries, pages, seed=79)
+    queries = gen_queries(n_queries, pages, seed=78, with_source=True)
+    # qrels = each query's SOURCE document (the ground-truth positive,
+    # relevance 2) ∪ the seeded random judgments (exercise unjudged-doc
+    # defaults and the missed-positive sentinel); random rows that collide
+    # with a source row are dropped so relevance stays well-defined
+    import pandas as pd
+
+    qrels_rand = gen_qrels(queries, pages, seed=79)
+    src = queries[["query_id", "source_url"]].rename(
+        columns={"source_url": "doc_id"}
+    )
+    src["relevance"] = 2.0
+    keys = set(zip(src["query_id"], src["doc_id"]))
+    qrels_rand = qrels_rand[
+        [(q, d) not in keys
+         for q, d in zip(qrels_rand["query_id"], qrels_rand["doc_id"])]
+    ]
+    qrels = pd.concat([src, qrels_rand], ignore_index=True)
 
     from pyspark.sql import functions as F
 
@@ -40,6 +56,7 @@ def main() -> int:
         F.col("url").alias("doc_id"), "text"
     )
     qdf = spark.createDataFrame(queries[["query_id", "text"]])
+    del queries  # qrels built; only (query_id, text) goes to the engine
     qrels_df = spark.createDataFrame(qrels)
 
     report = evaluate_retrieval(

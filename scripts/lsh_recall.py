@@ -49,15 +49,20 @@ def main() -> None:
         "vec_id", "embedding"
     )
     if shift:
-        # localCheckpoint: the downstream self-joins (corpus x query-slice)
-        # need a fresh relation — a lazy projection over the same parquet
-        # scan trips Spark's self-join attribute dedup
-        emb = emb.select(
+        # round-trip through parquet: the downstream self-joins need a
+        # genuinely fresh relation — both a lazy projection and a
+        # localCheckpoint of one trip Spark's self-join attribute dedup
+        # when higher-order bucket expressions sit on both sides
+        import tempfile
+
+        tmp = tempfile.mkdtemp(prefix="lsh_shift_", dir="/dev/shm")
+        emb.select(
             "vec_id",
             F.transform(
                 "embedding", lambda x: (x + shift).cast("float")
             ).alias("embedding"),
-        ).localCheckpoint(eager=True)
+        ).write.mode("overwrite").parquet(f"{tmp}/emb")
+        emb = spark.read.parquet(f"{tmp}/emb")
     dim = len(emb.first()["embedding"])
     n_vec = emb.count()
     is_query = F.col("vec_id") < n_queries

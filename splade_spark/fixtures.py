@@ -47,21 +47,31 @@ def gen_pages(n_rows: int, seed: int = 42, split: str = "train") -> pd.DataFrame
     )
 
 
-def gen_queries(n_queries: int, pages: pd.DataFrame, seed: int = 43) -> pd.DataFrame:
+def gen_queries(
+    n_queries: int, pages: pd.DataFrame, seed: int = 43,
+    with_source: bool = False,
+) -> pd.DataFrame:
     """queries(query_id, text): 2-8 tokens drawn from document texts; every
-    10th query gets one OOV token (empty-postings path)."""
+    10th query gets one OOV token (empty-postings path).
+
+    ``with_source=True`` adds a ``source_url`` column naming the document
+    each query was drawn from — the ground-truth positive for
+    retrieval-quality evaluation (same seeded draws either way)."""
     rng = np.random.default_rng(seed)
     texts = pages["text"].tolist()
+    urls = pages["url"].tolist()
     rows = []
     for i in range(n_queries):
-        doc = texts[int(rng.integers(0, len(texts)))]
+        j = int(rng.integers(0, len(texts)))
+        doc = texts[j]
         toks = doc.split()
         n = int(rng.integers(2, 9))
         picked = [toks[int(rng.integers(0, len(toks)))] for _ in range(min(n, len(toks)))]
         if i % 10 == 9:
             picked.append(f"zoov{i}")
-        rows.append((f"q{i:05d}", " ".join(picked)))
-    return pd.DataFrame(rows, columns=["query_id", "text"])
+        rows.append((f"q{i:05d}", " ".join(picked), urls[j]))
+    out = pd.DataFrame(rows, columns=["query_id", "text", "source_url"])
+    return out if with_source else out[["query_id", "text"]]
 
 
 def gen_qrels(queries: pd.DataFrame, pages: pd.DataFrame, seed: int = 44) -> pd.DataFrame:

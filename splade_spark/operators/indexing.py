@@ -221,6 +221,7 @@ def build_index(
     text_col: str = "text",
     cfg: EngineConfig = DEFAULT,
     weighted_terms: DataFrame | None = None,
+    n_docs_hint: int | None = None,
 ) -> InvertedIndex:
     """Build the full index from a corpus DataFrame.
 
@@ -239,14 +240,17 @@ def build_index(
         tf, doc_len = doc_term_frequencies(docs, id_col, text_col, cfg)
         return index_from_tf(tf, doc_len, cfg=cfg, weighted_terms=weighted_terms)
 
-    # size the build parallelism to the corpus: a metadata-cheap count
-    # (parquet row-group stats; no tokenize) picks
-    # ceil(n_docs / docs_per_partition) partitions, capped by the
-    # cluster-side index_partitions knob — a 5k-doc build runs 4-wide
-    # instead of paying 32 tasks of scheduling overhead per stage, while
-    # web-scale corpora always hit the cap. The shuffle-partition conf is
-    # scoped to the same width for the build's own stages.
-    n_est = docs.count()
+    # size the build parallelism to the corpus: ceil(n_docs /
+    # docs_per_partition) partitions, capped by the cluster-side
+    # index_partitions knob — a 5k-doc build runs 4-wide instead of paying
+    # 32 tasks of scheduling overhead per stage, while web-scale corpora
+    # always hit the cap. The sizing count is metadata-cheap on a bare
+    # parquet scan (row-group stats) but a full pass on a filtered or
+    # Iceberg source — callers with such inputs pass ``n_docs_hint``
+    # (any upper-bound estimate works; it only picks a task width) to
+    # skip the pass entirely. The shuffle-partition conf is scoped to the
+    # same width for the build's own stages.
+    n_est = docs.count() if n_docs_hint is None else int(n_docs_hint)
     n_part = max(4, min(
         int(cfg.index_partitions),
         -(-n_est // max(1, int(cfg.docs_per_partition))),
