@@ -162,6 +162,57 @@ def bm25_topk_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# metadata-filtered retrieval: full-corpus statistics, ranking restricted
+# to an allowed subset — rank is assigned AFTER the filter
+_BM25_FILTERED_SQL_DUCK = (
+    _BM25_BODY.replace("{TOK}", tokens_sql("text"))
+    .replace("{QTOK}", tokens_sql("qtext"))
+    .replace("{STR}", "VARCHAR").replace("{UNNEST}", "unnest")
+    + f"""
+, allowed AS (
+  SELECT doc_id FROM documents WHERE lang = 'en' AND n_chars >= 200
+),
+franked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY score DESC, CAST(doc_id AS VARCHAR) ASC
+         ) AS rank
+  FROM scored WHERE doc_id IN (SELECT doc_id FROM allowed)
+)
+SELECT query_id, CAST(rank AS INT) AS rank, doc_id
+FROM franked WHERE rank <= {TOPK}
+"""
+)
+
+
+@register("bm25_topk_filtered", _BM25_FILTERED_SQL_DUCK)
+def bm25_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-FILTERED top-k (the search-engine filter query): build the
+    full index, then retrieve restricted to lang='en' AND n_chars>=200
+    docs via `retrieve(allowed_docs=...)` — scores keep full-corpus
+    statistics (idf/avgdl unchanged), ranks are assigned within the
+    allowed subset, and the filter is a post-aggregation left_semi on the
+    int doc_idx key (broadcastable; the agg keeps its single map-side-
+    combined shuffle)."""
+    from .operators.indexing import build_index
+    from .operators.query import retrieve
+
+    docs_full = _docs(spark, sf_dir)
+    idx = build_index(
+        docs_full.select("doc_id", "text"), id_col="doc_id", text_col="text"
+    )
+    allowed = docs_full.filter(
+        (F.col("lang") == "en") & (F.col("n_chars") >= 200)
+    ).select("doc_id")
+    queries = spark.createDataFrame(BM25_QUERIES, "query_id string, text string")
+    res = retrieve(idx, queries, k=TOPK, allowed_docs=allowed)
+    return res.select(
+        "query_id", F.col("rank").cast("int").alias("rank"),
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+    )
+
+
 @register(
     "corpus_stats",
     f"""

@@ -329,3 +329,30 @@ def merge_index_with_docs(
     cfg = cfg_from_meta(index.meta)
     tf, doc_len = doc_term_frequencies(new_docs, id_col, text_col, cfg)
     return merge_index_with_tf(index, tf, doc_len)
+
+
+def upsert_docs(
+    index: InvertedIndex,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> InvertedIndex:
+    """Replace-or-insert a doc batch: the mutation API's third verb,
+    composed from the two exact primitives — ids already in the index are
+    tombstoned out (``apply_tombstones``), then the whole batch folds in
+    (``merge_index_with_docs``). A re-crawled page therefore replaces its
+    old postings atomically with respect to the returned handle.
+
+    Statistics (n_docs, avgdl, df/idf, every stored impact) equal a full
+    rebuild over ``(old \\ batch ids) ∪ batch`` exactly; decoded postings
+    as (term, doc_id, weight) sets are identical to that rebuild's
+    (doc_idx ASSIGNMENT can differ when batch ids interleave the kept
+    ids' sort order — the merge module's documented tie-break caveat).
+    Same invertibility preconditions as both primitives."""
+    ids = docs.select(F.col(id_col).cast("string").alias("doc_id")).distinct()
+    overlapping = index.doc_dim.join(ids, "doc_id", "left_semi").select(
+        "doc_id"
+    )
+    if overlapping.limit(1).count():
+        index = apply_tombstones(index, overlapping)
+    return merge_index_with_docs(index, docs, id_col=id_col, text_col=text_col)

@@ -204,9 +204,26 @@ def _candidate_blocks(
 def score_exhaustive(
     index: InvertedIndex, q_terms: DataFrame, k: int = 10,
     rows: list | None = None,
+    allowed_docs: DataFrame | None = None,
 ) -> DataFrame:
-    """Returns (query_id, rank, doc_id, score float)."""
+    """Returns (query_id, rank, doc_id, score float).
+
+    ``allowed_docs`` (one ``doc_id`` column) restricts the RANKING to a
+    metadata-selected subset — corpus statistics (idf, avgdl) and scores
+    stay those of the full index, exactly as a search engine's filtered
+    query works. The filter applies AFTER the score aggregation (a
+    left_semi on the int doc_idx key over the already-aggregated
+    candidate table), so the agg keeps its single map-side-combined
+    shuffle and the filter side broadcasts while it fits."""
     scores = _exhaustive_scores(index, q_terms, rows)
+    if allowed_docs is not None:
+        allowed_idx = index.doc_dim.join(
+            allowed_docs.select(
+                F.col("doc_id").cast("string").alias("doc_id")
+            ).distinct(),
+            "doc_id", "left_semi",
+        ).select("doc_idx")
+        scores = scores.join(allowed_idx, "doc_idx", "left_semi")
     return _topk(scores, index, k)
 
 
@@ -664,7 +681,18 @@ def retrieve(
     strategy: str = "exhaustive",
     cfg: EngineConfig = DEFAULT,
     query_weights: DataFrame | None = None,
+    allowed_docs: DataFrame | None = None,
 ) -> DataFrame:
+    """Top-k retrieval. ``allowed_docs`` (one ``doc_id`` column) makes it
+    a FILTERED query: the ranking is restricted to the allowed subset
+    while scores keep full-corpus statistics (the standard engine
+    semantics for metadata filters). Filtered queries always run the
+    exhaustive plan regardless of ``strategy``: the WAND kernels emit
+    per-task top-k before any filter could apply, and their block-max
+    bounds are filter-agnostic — pruning against an arbitrary,
+    possibly corpus-sized allowed set would need filter-aware θ
+    bookkeeping for no plan advantage over the scale-safe exhaustive
+    aggregation + post-agg semi-join."""
     meta = index.meta
     if query_weights is not None:
         q_terms = encode_queries_weighted(query_weights, index.term_dict, meta)
@@ -675,6 +703,8 @@ def retrieve(
     q_terms = sparsify_query_terms(
         q_terms, meta, bounded_by_encoder=query_weights is None
     )
+    if allowed_docs is not None:
+        return score_exhaustive(index, q_terms, k, allowed_docs=allowed_docs)
     if strategy == "wand":
         return score_wand(index, q_terms, k, cfg)
     if strategy == "local":

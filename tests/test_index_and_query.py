@@ -218,3 +218,44 @@ def test_fp16_index(spark, corpus, spark_index):
     # fp16 indexes refuse the exact-inversion folds
     with pytest.raises(ValueError, match="float32 precision"):
         apply_tombstones(idx16, docs.limit(3).select(F.col("url").alias("doc_id")))
+
+
+def test_filtered_retrieval_semantics(spark, corpus, spark_index):
+    """allowed_docs restricts the RANKING only: scores equal the
+    unfiltered plan's, ranks reassigned within the allowed subset, and
+    the filter overrides the wand strategy (documented routing)."""
+    pages, queries = corpus
+    qdf = spark.createDataFrame(queries[["query_id", "text"]].head(12))
+    # allowed = an arbitrary metadata slice of the corpus
+    allowed = spark.createDataFrame(pages[["url"]][pages.index % 3 != 0]).select(
+        F.col("url").alias("doc_id")
+    )
+    allowed_set = {r["doc_id"] for r in allowed.collect()}
+
+    unfiltered = retrieve(spark_index, qdf, k=N_DOCS, strategy="exhaustive")
+    expected = {}
+    by_q = {}
+    for r in unfiltered.collect():
+        if r["doc_id"] in allowed_set:
+            by_q.setdefault(r["query_id"], []).append(
+                (np.float32(r["score"]), r["doc_id"])
+            )
+    for qid, rows in by_q.items():
+        rows.sort(key=lambda t: (-t[0], t[1]))
+        expected[qid] = [
+            (rk + 1, did, np.float32(s).tobytes())
+            for rk, (s, did) in enumerate(rows[:K])
+        ]
+
+    for strategy in ("exhaustive", "wand"):
+        got = {}
+        for r in retrieve(
+            spark_index, qdf, k=K, strategy=strategy, allowed_docs=allowed
+        ).collect():
+            got.setdefault(r["query_id"], []).append(
+                (r["rank"], r["doc_id"], np.float32(r["score"]).tobytes())
+            )
+        got = {q: sorted(v) for q, v in got.items()}
+        assert got == {q: v for q, v in expected.items() if v}, strategy
+        # every returned doc is allowed
+        assert all(d in allowed_set for v in got.values() for _, d, _ in v)

@@ -19,6 +19,7 @@ from splade_spark.operators.merge import (
     merge_index_with_docs,
     merge_index_with_tf,
     reconstruct_tf,
+    upsert_docs,
 )
 from splade_spark.operators.query import retrieve
 
@@ -184,6 +185,55 @@ def test_tombstone_guards(spark, corpus):
     # dropping everything raises
     with pytest.raises(ValueError, match="every document"):
         apply_tombstones(idx, idx.doc_dim.select("doc_id"))
+
+
+def test_upsert_equals_rebuild_on_replaced_corpus(spark, corpus):
+    """upsert = tombstone-overlapping + fold: decoded postings as
+    (term, doc_id, weight) triples, term_dict stats, and corpus totals
+    must equal a rebuild over the replaced corpus exactly."""
+    full, old, new = corpus
+    idx = build_index(old, id_col="url", text_col="text", cfg=CFG)
+    # batch = half the old docs re-crawled with CHANGED text + the new docs
+    recrawled = old.filter(F.crc32("url") % 2 == 0).select(
+        "url", F.concat(F.col("text"), F.lit(" recrawl delta tokens")).alias("text")
+    )
+    batch = recrawled.unionByName(new)
+    upserted = upsert_docs(idx, batch, id_col="url", text_col="text")
+
+    replaced = (
+        old.join(recrawled.select("url"), "url", "left_anti")
+        .unionByName(recrawled)
+        .unionByName(new)
+    )
+    rebuilt = build_index(replaced, id_col="url", text_col="text", cfg=CFG)
+
+    assert upserted.meta["n_docs"] == rebuilt.meta["n_docs"] == N_DOCS
+    assert upserted.meta["avgdl"] == pytest.approx(rebuilt.meta["avgdl"], rel=1e-12)
+    assert upserted.meta["nnz"] == rebuilt.meta["nnz"]
+
+    def postings_by_id(idx_):
+        id_of = {r["doc_idx"]: r["doc_id"] for r in idx_.doc_dim.collect()}
+        term_of = {r["term_id"]: r["term"] for r in idx_.term_dict.collect()}
+        out = set()
+        for r in idx_.postings.collect():
+            d, w = decode_block(r["doc_gaps"], r["weights"])
+            for di, wi in zip(d, w):
+                out.add((term_of[r["term_id"]], id_of[int(di)],
+                         np.float32(wi).tobytes()))
+        return out
+
+    assert postings_by_id(upserted) == postings_by_id(rebuilt)
+    td_u = {(r["term"], r["df"]) for r in upserted.term_dict.collect()}
+    td_r = {(r["term"], r["df"]) for r in rebuilt.term_dict.collect()}
+    assert td_u == td_r
+
+
+def test_upsert_pure_insert_is_plain_fold(spark, corpus):
+    _, old, new = corpus
+    idx = build_index(old, id_col="url", text_col="text", cfg=CFG)
+    a = upsert_docs(idx, new, id_col="url", text_col="text")
+    b = merge_index_with_docs(idx, new, id_col="url", text_col="text")
+    assert _index_state(a) == _index_state(b)
 
 
 def test_inversion_exact_over_weight_grid():
