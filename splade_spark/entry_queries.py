@@ -1003,6 +1003,59 @@ def bm25_topk_deduped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "streaming_dedup_firstseen",
+    f"""
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       md5(array_to_string({tokens_sql('text')}, ' ')) AS fp
+FROM documents WHERE doc_id < 100
+""",
+)
+def streaming_dedup_firstseen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom STATEFUL streaming operator (applyInPandasWithState):
+    cross-micro-batch first-seen dedup. Batch 1 = 100 original docs;
+    batch 2 = byte-identical re-deliveries under new doc_ids (+1000) —
+    the mirror/re-crawl shape. The state (per-bucket seen-fingerprint
+    sets, sharded by pmod(xxhash64(fp), n_buckets)) must suppress every
+    batch-2 row, so the emitted stream equals exactly the originals —
+    which is what the oracle computes declaratively. See
+    `streaming/stream_dedup.py` for the scale notes (bucketed state,
+    RocksDB provider)."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from .streaming.stream_dedup import run_first_seen_over_files
+
+    base = tempfile.mkdtemp(prefix="splade_sdedup_")
+    in_dir = os.path.join(base, "in")
+    os.makedirs(in_dir)
+    pdf = (
+        _docs(spark, sf_dir).filter(F.col("doc_id") < 100)
+        .select(F.col("doc_id").cast("string").alias("doc_id"), "text")
+        .toPandas()
+    )
+    pq.write_table(
+        pa.Table.from_pandas(pdf, preserve_index=False),
+        os.path.join(in_dir, "batch1.parquet"),
+    )
+    dup = pdf.copy()
+    dup["doc_id"] = (dup["doc_id"].astype(int) + 1000).astype(str)
+    pq.write_table(
+        pa.Table.from_pandas(dup, preserve_index=False),
+        os.path.join(in_dir, "batch2.parquet"),
+    )
+    now = 1_700_000_000  # fixed mtimes pin micro-batch order (1 then 2)
+    os.utime(os.path.join(in_dir, "batch1.parquet"), (now - 100, now - 100))
+    os.utime(os.path.join(in_dir, "batch2.parquet"), (now, now))
+    return run_first_seen_over_files(
+        spark, in_dir, os.path.join(base, "out"), os.path.join(base, "ck"),
+        n_buckets=8,
+    ).select("doc_id", "fp")
+
+
 SIMHASH_BITS = 16
 SIMHASH_MAX_DOC = 300
 

@@ -205,3 +205,47 @@ def test_incremental_fold_of_new_batches(spark, tmp_path_factory):
     assert sig(folded) == sig(rebuilt)
     folded.unpersist()
     rebuilt.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# Stateful cross-batch dedup (applyInPandasWithState)
+# ---------------------------------------------------------------------------
+
+def test_streaming_first_seen_dedup(spark, tmp_path):
+    """State must survive across micro-batches: within-batch dups keep the
+    min doc_id; re-deliveries in LATER batches are suppressed entirely."""
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from splade_spark.streaming.stream_dedup import run_first_seen_over_files
+
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    b1 = pd.DataFrame({
+        "doc_id": ["d3", "d1", "d2", "d9"],
+        "text": ["alpha beta gamma", "unique one", "Alpha  beta,gamma", "solo nine"],
+    })  # d2 normalizes to d3's fingerprint; min doc_id d2 survives
+    b2 = pd.DataFrame({
+        "doc_id": ["d4", "d5"],
+        "text": ["ALPHA beta gamma!", "brand new content"],
+    })  # d4 re-delivers the alpha fp -> suppressed by STATE
+    pq.write_table(pa.Table.from_pandas(b1, preserve_index=False),
+                   f"{in_dir}/b1.parquet")
+    pq.write_table(pa.Table.from_pandas(b2, preserve_index=False),
+                   f"{in_dir}/b2.parquet")
+    now = 1_700_000_000
+    os.utime(f"{in_dir}/b1.parquet", (now - 100, now - 100))
+    os.utime(f"{in_dir}/b2.parquet", (now, now))
+
+    res = run_first_seen_over_files(
+        spark, in_dir, str(tmp_path / "out"), str(tmp_path / "ck"),
+        n_buckets=4,
+    )
+    got = {r["doc_id"]: r["fp"] for r in res.collect()}
+    assert set(got) == {"d1", "d2", "d9", "d5"}
+    # the three alpha-variant docs share one fingerprint; only d2 emitted
+    fps = list(got.values())
+    assert len(fps) == len(set(fps))
