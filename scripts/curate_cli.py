@@ -1,0 +1,105 @@
+"""spark-submit entry point: the curation loop over a LIVE index.
+
+Find near-duplicates in a corpus, resolve clusters, and REMOVE the
+non-survivors from an already-built index without re-tokenizing the kept
+corpus — the dedup → drop → serve cycle a training-data pipeline runs
+continuously::
+
+    spark-submit --py-files dist/splade_spark.zip scripts/curate_cli.py \
+        --corpus /data/pages --index /data/index --output /data/index_v2 \
+        [--id-col url --text-col text] \
+        [--n-hashes 128 --rows-per-band 4 --bucket-cap 1000]
+
+Steps (each a library operator, all oracle/test-gated):
+
+1. ``deduplicate_corpus`` — MinHash+LSH candidates (bucketed equi-join,
+   over-cap boilerplate routed to the linear fingerprint pass) →
+   connected components → deterministic min-id survivor drop list;
+2. ``apply_tombstones`` — drop list applied to the loaded index with
+   exact df/idf/avgdl update (bit-identical to a rebuild on kept docs);
+3. save the curated index + a JSON summary.
+
+Runs unchanged on a cluster master; the local default exists so the same
+command works in this sandbox.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+_repo_root = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
+sys.path.insert(0, _repo_root)
+os.environ["PYTHONPATH"] = os.path.abspath(_repo_root) + os.pathsep + os.environ.get(
+    "PYTHONPATH", "")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--corpus", required=True,
+                    help="parquet path or Iceberg table identifier")
+    ap.add_argument("--index", required=True, help="built index directory")
+    ap.add_argument("--output", required=True,
+                    help="output directory for the curated index")
+    ap.add_argument("--format", default="auto",
+                    choices=("auto", "parquet", "iceberg"))
+    ap.add_argument("--id-col", default="url")
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--n-hashes", type=int, default=128)
+    ap.add_argument("--rows-per-band", type=int, default=4)
+    ap.add_argument("--shingle-n", type=int, default=3)
+    ap.add_argument("--bucket-cap", type=int, default=1000)
+    ap.add_argument("--drop-list-out", default=None,
+                    help="optional parquet path for the full per-doc drop list")
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from splade_spark.operators.dedup import deduplicate_corpus
+    from splade_spark.operators.indexing import InvertedIndex
+    from splade_spark.operators.merge import apply_tombstones
+    from splade_spark.session import get_spark
+    from splade_spark.sources.corpus import read_table
+
+    spark = get_spark(master=args.master, app_name="splade_curate")
+    docs = read_table(spark, args.corpus, args.format).select(
+        F.col(args.id_col).alias("doc_id"), F.col(args.text_col).alias("text")
+    )
+
+    t0 = time.perf_counter()
+    drop_list = deduplicate_corpus(
+        docs,
+        n_hashes=args.n_hashes,
+        rows_per_band=args.rows_per_band,
+        shingle_n=args.shingle_n,
+        bucket_cap=args.bucket_cap,
+    ).persist()
+    if args.drop_list_out:
+        drop_list.write.mode("overwrite").parquet(args.drop_list_out)
+    drops = drop_list.filter(~F.col("keep")).select("doc_id")
+    n_drop = drops.count()
+    t_dedup = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    idx = InvertedIndex.load(spark, args.index)
+    curated = apply_tombstones(idx, drops)
+    curated.save(args.output)
+    t_fold = time.perf_counter() - t0
+
+    print(json.dumps({
+        "stage": "curate", "output": args.output,
+        "n_docs_before": int(idx.meta["n_docs"]),
+        "n_dropped": int(n_drop),
+        "n_docs_after": int(curated.meta["n_docs"]),
+        "dedup_sec": round(t_dedup, 2), "tombstone_sec": round(t_fold, 2),
+    }))
+    drop_list.unpersist()
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())
