@@ -2500,3 +2500,198 @@ def events_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id",
         F.round(F.sum("value").over(w) * 1000).cast("bigint").alias("running_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Web-URL curation family (operators/weburl.py; BASELINE.json input_hint)
+# ---------------------------------------------------------------------------
+
+# Messy-URL synthesis shared (as independent formulations) by the Spark
+# entries and their DuckDB oracles: deterministic per doc_id, covering all
+# six canonicalization rules (case, www, default/explicit ports, empty and
+# trailing-slash paths, tracking params, fragments).
+_MESSY_URL_SQL = """
+    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'http' END) || '://' ||
+    (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END) ||
+    'Site' || CAST(doc_id % 7 AS VARCHAR) || '.Example.ORG' ||
+    (CASE WHEN doc_id % 5 = 0 THEN
+            (CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END)
+          WHEN doc_id % 5 = 1 THEN ':8080' ELSE '' END) ||
+    (CASE WHEN doc_id % 11 = 0 THEN ''
+          ELSE '/Dir/page' || CAST(doc_id % 13 AS VARCHAR) ||
+               (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END) END) ||
+    (CASE WHEN doc_id % 6 IN (0, 1) THEN
+            '?utm_source=feed&b=' || CAST(doc_id % 3 AS VARCHAR) || '&a=1'
+          WHEN doc_id % 6 = 2 THEN '?ref=abc'
+          WHEN doc_id % 6 = 3 THEN '?z=9&y=8' ELSE '' END) ||
+    (CASE WHEN doc_id % 2 = 1 THEN '#sec' ELSE '' END)
+"""
+
+# Same synthesis as a Spark SQL expression (Spark spells the string cast
+# AS STRING where DuckDB uses AS VARCHAR; everything else is shared).
+_MESSY_URL_SPARK = _MESSY_URL_SQL.replace("AS VARCHAR", "AS STRING")
+
+
+@register(
+    "url_canonicalize",
+    f"""
+WITH raw AS (
+  SELECT doc_id, {_MESSY_URL_SQL} AS url
+  FROM documents WHERE doc_id < 200
+),
+p1 AS (
+  SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS nf FROM raw
+),
+p2 AS (
+  SELECT doc_id, url,
+    lower(regexp_extract(nf, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+    lower(regexp_extract(nf, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
+    regexp_extract(nf, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^#]*)', 1) AS rest
+  FROM p1
+),
+p3 AS (
+  SELECT doc_id, scheme,
+    regexp_replace(regexp_replace(hostport, ':[0-9]+$', ''), '^www\\.', '') AS host,
+    regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+    regexp_replace(regexp_extract(rest, '^([^?]*)', 1), '/$', '') AS path0,
+    regexp_extract(rest, '\\?(.*)$', 1) AS query
+  FROM p2
+),
+p4 AS (
+  SELECT doc_id, scheme, host, port,
+    CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path,
+    array_to_string(list_sort(list_filter(string_split(query, '&'),
+      p -> p <> '' AND NOT regexp_matches(p,
+             '^(utm_[a-zA-Z0-9_]*|fbclid|gclid|msclkid|ref)='))), '&') AS kept,
+    CASE WHEN scheme = 'http' THEN '80'
+         WHEN scheme = 'https' THEN '443' ELSE '' END AS defport
+  FROM p3
+)
+SELECT doc_id,
+  scheme || '://' || host ||
+  (CASE WHEN port <> '' AND port <> defport THEN ':' || port ELSE '' END) ||
+  path ||
+  (CASE WHEN kept <> '' THEN '?' || kept ELSE '' END) AS canonical_url,
+  host
+FROM p4
+""",
+)
+def url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (operators/weburl.py rules 1-6) over messy
+    URLs synthesized deterministically from doc_id. The oracle is an
+    independent DuckDB re-derivation of every rule, so a drift in any
+    single rule (port/default-port pairing, tracking-param filter, sort
+    order, empty-path handling) flips the value hash."""
+    from .operators.weburl import canonicalize_url, host_of
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+    raw = docs.select("doc_id", F.expr(_MESSY_URL_SPARK).alias("url"))
+    return raw.select(
+        "doc_id",
+        canonicalize_url("url").alias("canonical_url"),
+        host_of("url").alias("host"),
+    )
+
+
+@register(
+    "url_latest_snapshot",
+    """
+WITH raw AS (
+  SELECT doc_id,
+    (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTP' END) || '://' ||
+    (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END) ||
+    (CASE WHEN doc_id % 5 = 0 THEN 'SNAP.Example.ORG' ELSE 'snap.example.org' END) ||
+    '/page' || CAST(doc_id % 40 AS VARCHAR) ||
+    (CASE WHEN doc_id % 6 = 0 THEN '?utm_source=x' ELSE '' END) AS url,
+    TIMESTAMP '2024-01-01 00:00:00'
+      + to_seconds((doc_id * 37) % 997) AS warc_ts
+  FROM documents WHERE doc_id < 200
+),
+canon AS (
+  SELECT doc_id, warc_ts,
+    'http' || (CASE WHEN doc_id % 2 = 0 THEN 's' ELSE '' END) ||
+    '://snap.example.org/page' || CAST(doc_id % 40 AS VARCHAR) AS canonical_url
+  FROM raw
+),
+ranked AS (
+  SELECT canonical_url, doc_id, warc_ts,
+         row_number() OVER (PARTITION BY canonical_url
+                            ORDER BY warc_ts DESC, doc_id DESC) AS rn
+  FROM canon
+)
+SELECT canonical_url, doc_id AS kept_doc_id,
+       CAST(epoch(warc_ts) AS BIGINT) AS kept_ts_epoch
+FROM ranked WHERE rn = 1
+""",
+)
+def url_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-snapshot dedup: newest row per canonical URL
+    (weburl.latest_snapshot — one hash-partitioned window, no global
+    sort). 200 synthesized snapshots collapse onto 40 canonical URLs
+    (spelling noise: case, www, tracking params); the oracle pre-folds
+    the canonical form analytically rather than re-deriving the rules —
+    agreement pins BOTH the canonicalizer and the window dedup."""
+    from .operators.weburl import latest_snapshot
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+    raw = docs.select(
+        "doc_id",
+        F.expr(
+            """
+            (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTP' END) || '://' ||
+            (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END) ||
+            (CASE WHEN doc_id % 5 = 0 THEN 'SNAP.Example.ORG'
+                  ELSE 'snap.example.org' END) ||
+            '/page' || CAST(doc_id % 40 AS STRING) ||
+            (CASE WHEN doc_id % 6 = 0 THEN '?utm_source=x' ELSE '' END)
+            """
+        ).alias("url"),
+        F.expr(
+            "timestamp'2024-01-01 00:00:00'"
+            " + make_interval(0, 0, 0, 0, 0, 0, (doc_id * 37) % 997)"
+        ).alias("warc_ts"),
+    )
+    kept = latest_snapshot(raw, url_col="url", ts_col="warc_ts", tie_col="doc_id")
+    return kept.select(
+        "canonical_url",
+        F.col("doc_id").alias("kept_doc_id"),
+        F.unix_timestamp("warc_ts").cast("bigint").alias("kept_ts_epoch"),
+    )
+
+
+@register(
+    "host_doc_stats",
+    """
+WITH pages AS (
+  SELECT doc_id, text, lang,
+    'https://' || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END) ||
+    'H' || CAST(doc_id % 11 AS STRING) || '.Example.ORG/p'
+      || CAST(doc_id AS STRING) AS url
+  FROM documents WHERE doc_id < 300
+)
+SELECT lower('h' || CAST(doc_id % 11 AS STRING) || '.example.org') AS host,
+       count(*) AS n_docs,
+       sum(length(text)) AS total_chars,
+       CAST(round(avg(length(text)) * 1000) AS BIGINT) AS avg_chars_milli,
+       count(DISTINCT lang) AS n_langs
+FROM pages
+GROUP BY 1
+""",
+)
+def host_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level corpus aggregates (weburl.host_stats) — the grouping a
+    host-quality filter consumes. host_of strips case/www noise; all
+    aggregates are algebraic (map-side partial agg). The oracle computes
+    the host analytically from doc_id, so host extraction is pinned."""
+    from .operators.weburl import host_stats
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 300)
+    pages = docs.select(
+        "doc_id", "text", "lang",
+        F.expr(
+            "'https://' || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END)"
+            " || 'H' || CAST(doc_id % 11 AS STRING) || '.Example.ORG/p'"
+            " || CAST(doc_id AS STRING)"
+        ).alias("url"),
+    )
+    return host_stats(pages, url_col="url", text_col="text", lang_col="lang")
