@@ -12,11 +12,17 @@ continuously::
 
 Steps (each a library operator, all oracle/test-gated):
 
+0. (``--snapshot-dedup``) ``weburl.latest_snapshot`` — canonicalize the
+   URL id column and keep only the newest crawl snapshot per canonical
+   URL; older snapshots join the tombstone set. One hash-partitioned
+   window with map-side WindowGroupLimit — run this FIRST so the
+   MinHash stage never shingles superseded snapshots;
 1. ``deduplicate_corpus`` — MinHash+LSH candidates (bucketed equi-join,
    over-cap boilerplate routed to the linear fingerprint pass) →
    connected components → deterministic min-id survivor drop list;
-2. ``apply_tombstones`` — drop list applied to the loaded index with
-   exact df/idf/avgdl update (bit-identical to a rebuild on kept docs);
+2. ``apply_tombstones`` — the union of both drop sets applied to the
+   loaded index with exact df/idf/avgdl update (bit-identical to a
+   rebuild on kept docs);
 3. save the curated index + a JSON summary.
 
 Runs unchanged on a cluster master; the local default exists so the same
@@ -52,6 +58,11 @@ def main() -> None:
     ap.add_argument("--rows-per-band", type=int, default=4)
     ap.add_argument("--shingle-n", type=int, default=3)
     ap.add_argument("--bucket-cap", type=int, default=1000)
+    ap.add_argument("--snapshot-dedup", action="store_true",
+                    help="first keep only the newest snapshot per "
+                         "canonical URL (id column must be a URL)")
+    ap.add_argument("--ts-col", default="warc_ts",
+                    help="snapshot timestamp column for --snapshot-dedup")
     ap.add_argument("--drop-list-out", default=None,
                     help="optional parquet path for the full per-doc drop list")
     ap.add_argument("--master", default=None)
@@ -66,7 +77,25 @@ def main() -> None:
     from splade_spark.sources.corpus import read_table
 
     spark = get_spark(master=args.master, app_name="splade_curate")
-    docs = read_table(spark, args.corpus, args.format).select(
+    raw = read_table(spark, args.corpus, args.format)
+
+    n_snap_drop, t_snap = 0, 0.0
+    snap_drops = None
+    if args.snapshot_dedup:
+        from splade_spark.operators.weburl import latest_snapshot
+
+        t0 = time.perf_counter()
+        kept = latest_snapshot(
+            raw, url_col=args.id_col, ts_col=args.ts_col
+        ).persist()
+        snap_drops = raw.join(
+            kept.select(args.id_col), on=args.id_col, how="left_anti"
+        ).select(F.col(args.id_col).alias("doc_id"))
+        n_snap_drop = snap_drops.count()
+        t_snap = time.perf_counter() - t0
+        raw = kept
+
+    docs = raw.select(
         F.col(args.id_col).alias("doc_id"), F.col(args.text_col).alias("text")
     )
 
@@ -83,6 +112,8 @@ def main() -> None:
     drops = drop_list.filter(~F.col("keep")).select("doc_id")
     n_drop = drops.count()
     t_dedup = time.perf_counter() - t0
+    if snap_drops is not None:
+        drops = drops.unionByName(snap_drops).distinct()
 
     t0 = time.perf_counter()
     idx = InvertedIndex.load(spark, args.index)
@@ -93,8 +124,10 @@ def main() -> None:
     print(json.dumps({
         "stage": "curate", "output": args.output,
         "n_docs_before": int(idx.meta["n_docs"]),
-        "n_dropped": int(n_drop),
+        "n_snapshot_dropped": int(n_snap_drop),
+        "n_neardup_dropped": int(n_drop),
         "n_docs_after": int(curated.meta["n_docs"]),
+        "snapshot_sec": round(t_snap, 2),
         "dedup_sec": round(t_dedup, 2), "tombstone_sec": round(t_fold, 2),
     }))
     drop_list.unpersist()
