@@ -2695,3 +2695,104 @@ def host_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("url"),
     )
     return host_stats(pages, url_col="url", text_col="text", lang_col="lang")
+
+
+_SNAP_EPOCH = 1704067200  # 2024-01-01 00:00:00 UTC
+
+
+@register(
+    "streaming_latest_snapshot",
+    f"""
+WITH b1 AS (
+  SELECT doc_id,
+    'http' || (CASE WHEN doc_id % 2 = 0 THEN 's' ELSE '' END) ||
+    '://snap.example.org/page' || CAST(doc_id % 40 AS VARCHAR) AS canonical_url,
+    (doc_id * 37) % 997 AS ts_s
+  FROM documents WHERE doc_id < 200
+),
+b2 AS (
+  SELECT doc_id,
+    'http' || (CASE WHEN doc_id % 2 = 0 THEN 's' ELSE '' END) ||
+    '://snap.example.org/page' || CAST(doc_id % 40 AS VARCHAR) AS canonical_url,
+    (doc_id * 41) % 1500 AS ts_s
+  FROM documents WHERE doc_id >= 200 AND doc_id < 300
+),
+w1 AS (
+  SELECT canonical_url, doc_id, ts_s FROM (
+    SELECT canonical_url, doc_id, ts_s,
+           row_number() OVER (PARTITION BY canonical_url
+                              ORDER BY ts_s DESC,
+                                       CAST(doc_id AS VARCHAR) DESC) AS rn
+    FROM b1) WHERE rn = 1
+),
+w2 AS (
+  SELECT canonical_url, doc_id, ts_s FROM (
+    SELECT canonical_url, doc_id, ts_s,
+           row_number() OVER (PARTITION BY canonical_url
+                              ORDER BY ts_s DESC,
+                                       CAST(doc_id AS VARCHAR) DESC) AS rn
+    FROM b2) WHERE rn = 1
+),
+fresh2 AS (
+  SELECT w2.canonical_url, w2.doc_id, w2.ts_s
+  FROM w2 JOIN w1 USING (canonical_url) WHERE w2.ts_s > w1.ts_s
+)
+SELECT canonical_url, CAST(doc_id AS VARCHAR) AS doc_id,
+       CAST({_SNAP_EPOCH} + ts_s AS BIGINT) AS ts_epoch
+FROM (SELECT * FROM w1 UNION ALL SELECT * FROM fresh2)
+""",
+)
+def streaming_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom STATEFUL streaming operator #2 (applyInPandasWithState):
+    cross-micro-batch strictly-newer-per-URL snapshot filter
+    (streaming/stream_snapshot.py). Batch 1 = 200 snapshots over 40
+    canonical URLs (spelling noise: case, www, tracking params); batch 2
+    = 100 re-crawls of the same URLs, some newer, some older. The
+    per-bucket URL→max-ts state must emit batch 1's newest row per URL
+    plus ONLY the batch-2 rows strictly newer than that — which the
+    oracle computes declaratively with two windows and a strict join."""
+    import os
+    import tempfile
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from .streaming.stream_snapshot import run_latest_snapshots_over_files
+
+    def synth(lo: int, hi: int, mul: int, mod: int) -> pd.DataFrame:
+        ids = (
+            _docs(spark, sf_dir)
+            .filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+            .select("doc_id").toPandas()["doc_id"].astype(int)
+        )
+        url = ids.map(
+            lambda d: ("https" if d % 2 == 0 else "HTTP") + "://"
+            + ("www." if d % 3 == 0 else "")
+            + ("SNAP.Example.ORG" if d % 5 == 0 else "snap.example.org")
+            + f"/page{d % 40}"
+            + ("?utm_source=x" if d % 6 == 0 else "")
+        )
+        ts = pd.Timestamp("2024-01-01") + pd.to_timedelta(
+            (ids * mul) % mod, unit="s"
+        )
+        return pd.DataFrame({
+            "url": url, "doc_id": ids.astype(str),
+            "warc_ts": ts.astype("datetime64[us]"),
+        })
+
+    base = tempfile.mkdtemp(prefix="splade_ssnap_")
+    in_dir = os.path.join(base, "in")
+    os.makedirs(in_dir)
+    for i, pdf in enumerate([synth(0, 200, 37, 997), synth(200, 300, 41, 1500)]):
+        p = os.path.join(in_dir, f"batch{i + 1}.parquet")
+        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), p)
+        os.utime(p, (1_700_000_000 - 100 + i * 100,) * 2)  # pin batch order
+    out = run_latest_snapshots_over_files(
+        spark, in_dir, os.path.join(base, "out"), os.path.join(base, "ck"),
+        n_buckets=8,
+    )
+    return out.select(
+        "canonical_url", "doc_id",
+        (F.col("ts_us") / 1_000_000).cast("bigint").alias("ts_epoch"),
+    )

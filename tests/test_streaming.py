@@ -249,3 +249,143 @@ def test_streaming_first_seen_dedup(spark, tmp_path):
     # the three alpha-variant docs share one fingerprint; only d2 emitted
     fps = list(got.values())
     assert len(fps) == len(set(fps))
+
+
+def test_streaming_latest_snapshot_filter(spark, tmp_path):
+    """Strictly-newer-per-canonical-URL across micro-batches: spelling
+    variants collapse to one state key, older and equal-ts re-crawls are
+    suppressed, newer ones pass."""
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from splade_spark.streaming.stream_snapshot import (
+        run_latest_snapshots_over_files,
+    )
+
+    t0 = pd.Timestamp("2024-01-01")
+
+    def write(name, rows, mtime):
+        pdf = pd.DataFrame(rows, columns=["url", "doc_id", "warc_ts"])
+        pdf["warc_ts"] = pdf["warc_ts"].astype("datetime64[us]")
+        p = f"{tmp_path}/in/{name}"
+        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), p)
+        os.utime(p, (mtime, mtime))
+
+    os.makedirs(f"{tmp_path}/in")
+    s = pd.Timedelta(seconds=1)
+    write("b1.parquet", [
+        # two spellings of a.org/p in ONE batch -> newest (d2) wins
+        ("https://www.a.org/p?utm_source=x", "d1", t0 + 10 * s),
+        ("HTTPS://A.ORG/p", "d2", t0 + 20 * s),
+        ("https://b.org/q", "d3", t0 + 50 * s),
+    ], 1_700_000_000 - 100)
+    write("b2.parquet", [
+        ("https://a.org/p/", "d4", t0 + 30 * s),   # newer -> passes
+        ("https://b.org/q", "d5", t0 + 50 * s),    # equal ts -> suppressed
+        ("https://b.org/q", "d6", t0 + 40 * s),    # older -> suppressed
+        ("https://c.org/new", "d7", t0 + 1 * s),   # unseen URL -> passes
+    ], 1_700_000_000)
+
+    res = run_latest_snapshots_over_files(
+        spark, f"{tmp_path}/in", f"{tmp_path}/out", f"{tmp_path}/ck",
+        n_buckets=4,
+    )
+    got = {r["doc_id"]: r["canonical_url"] for r in res.collect()}
+    assert got == {
+        "d2": "https://a.org/p",
+        "d3": "https://b.org/q",
+        "d4": "https://a.org/p",
+        "d7": "https://c.org/new",
+    }
+
+
+def test_streamed_snapshots_keep_index_fresh(spark, tmp_path):
+    """The freshness loop: stream batch 1 -> build the index on what it
+    emits; stream batch 2 through the SAME checkpoint -> upsert what it
+    emits. The live index must equal a rebuild over the latest snapshot
+    of every URL, compared on id-keyed decoded postings (doc_idx
+    assignment may legally differ — merge module tie-break caveat)."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from splade_spark.config import EngineConfig
+    from splade_spark.functions.codec import decode_block
+    from splade_spark.operators.indexing import build_index
+    from splade_spark.operators.merge import upsert_docs
+    from splade_spark.streaming.stream_snapshot import (
+        run_latest_snapshots_over_files,
+    )
+
+    t0 = pd.Timestamp("2024-01-01")
+    s = pd.Timedelta(seconds=1)
+    b1 = [
+        ("https://a.org/one", "d1", t0 + 10 * s, "alpha beta gamma words"),
+        ("https://a.org/two", "d2", t0 + 10 * s, "delta epsilon words"),
+        ("https://a.org/three", "d3", t0 + 10 * s, "zeta eta theta"),
+    ]
+    b2 = [
+        ("https://WWW.a.org/one", "d4", t0 + 20 * s, "alpha REVISED beta new"),
+        ("https://a.org/two", "d5", t0 + 5 * s, "stale superseded text"),
+        ("https://a.org/four", "d6", t0 + 1 * s, "brand new page text"),
+    ]
+    texts = {r[1]: r[3] for r in b1 + b2}
+
+    def write(name, rows, mtime):
+        pdf = pd.DataFrame(rows, columns=["url", "doc_id", "warc_ts", "text"])
+        pdf["warc_ts"] = pdf["warc_ts"].astype("datetime64[us]")
+        p = f"{tmp_path}/in/{name}"
+        pq.write_table(
+            pa.Table.from_pandas(pdf[["url", "doc_id", "warc_ts"]],
+                                 preserve_index=False), p)
+        os.utime(p, (mtime, mtime))
+
+    def run():
+        return run_latest_snapshots_over_files(
+            spark, f"{tmp_path}/in", f"{tmp_path}/out", f"{tmp_path}/ck",
+            n_buckets=4,
+        )
+
+    def as_docs(rows):
+        return spark.createDataFrame(
+            [(u, texts[d]) for u, d in rows], "doc_id string, text string"
+        )
+
+    cfg = EngineConfig(block_size=8, index_partitions=2)
+    os.makedirs(f"{tmp_path}/in")
+    write("b1.parquet", b1, 1_700_000_000 - 100)
+    got1 = {(r["canonical_url"], r["doc_id"]) for r in run().collect()}
+    assert {d for _, d in got1} == {"d1", "d2", "d3"}
+    live = build_index(as_docs(got1), cfg=cfg)
+
+    write("b2.parquet", b2, 1_700_000_000)  # same checkpoint: only b2 is new
+    got2 = {
+        (r["canonical_url"], r["doc_id"]) for r in run().collect()
+    } - got1
+    assert {d for _, d in got2} == {"d4", "d6"}
+    live = upsert_docs(live, as_docs(got2))
+
+    latest = build_index(as_docs([
+        ("https://a.org/one", "d4"), ("https://a.org/two", "d2"),
+        ("https://a.org/three", "d3"), ("https://a.org/four", "d6"),
+    ]), cfg=cfg)
+
+    def id_keyed(idx):
+        terms = {r["term_id"]: (r["term"], r["df"]) for r in idx.term_dict.collect()}
+        ids = {r["doc_idx"]: r["doc_id"] for r in idx.doc_dim.collect()}
+        dim = {(r["doc_id"], r["dl"]) for r in idx.doc_dim.collect()}
+        post = set()
+        for r in idx.postings.collect():
+            d, w = decode_block(r["doc_gaps"], r["weights"])
+            for di, wi in zip(d, w):
+                post.add((terms[r["term_id"]][0], ids[int(di)],
+                          np.float32(wi).tobytes()))
+        return set(terms.values()), dim, post
+    assert live.meta["n_docs"] == latest.meta["n_docs"] == 4
+    assert id_keyed(live) == id_keyed(latest)
