@@ -2796,3 +2796,157 @@ def streaming_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "canonical_url", "doc_id",
         (F.col("ts_us") / 1_000_000).cast("bigint").alias("ts_epoch"),
     )
+
+
+@register(
+    "repetition_quality",
+    f"""
+WITH synth AS (
+  SELECT doc_id,
+    array_to_string(list_slice({tokens_sql('text')}, 1, 4), ' ') AS header,
+    text
+  FROM documents WHERE doc_id < 200
+),
+multi AS (
+  SELECT doc_id,
+    header || chr(10) || text || chr(10) || header ||
+    (CASE WHEN doc_id % 3 = 0 THEN chr(10) || header ELSE '' END) AS mtext
+  FROM synth
+),
+lines AS (
+  SELECT doc_id, mtext,
+    list_filter(list_transform(string_split(mtext, chr(10)), s -> trim(s)),
+                s -> s <> '') AS ls,
+    {tokens_sql('mtext')} AS t
+  FROM multi
+),
+feat AS (
+  SELECT doc_id,
+    CAST(len(ls) AS BIGINT) AS n_lines,
+    CASE WHEN len(ls) > 0
+         THEN 1.0 - CAST(len(list_distinct(ls)) AS DOUBLE) / len(ls)
+         ELSE 0.0 END AS dlf,
+    CAST(len(t) AS BIGINT) AS n_tokens, t
+  FROM lines
+),
+bg AS (
+  SELECT doc_id, t[i] || ' ' || t[i + 1] AS bigram
+  FROM feat, (SELECT unnest(range(1, 300)) AS i)
+  WHERE i <= len(t) - 1
+),
+bgc AS (
+  SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY doc_id, bigram
+),
+top AS (SELECT doc_id, max(c) AS maxc FROM bgc GROUP BY doc_id)
+SELECT f.doc_id, f.n_lines,
+       CAST(round(f.dlf * 1000) AS BIGINT) AS dup_line_frac_milli,
+       f.n_tokens,
+       CAST(coalesce(top.maxc, 0) AS BIGINT) AS top_bigram_count,
+       CAST(round(CASE WHEN f.n_tokens >= 2
+                       THEN 2.0 * coalesce(top.maxc, 0) / f.n_tokens
+                       ELSE 0.0 END * 1000) AS BIGINT) AS top_bigram_frac_milli
+FROM feat f LEFT JOIN top ON f.doc_id = top.doc_id
+""",
+)
+def repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (textstats.repetition_stats):
+    duplicate-line fraction + most-frequent-bigram coverage. Multi-line
+    text is synthesized by sandwiching each document between copies of
+    its own first-4-token header (an extra copy every third doc), so the
+    dup-line fraction is non-trivially varied; the bigram side runs over
+    the full token stream. The oracle re-derives both features
+    independently (list ops + an unnest-range bigram join)."""
+    from .operators.textstats import repetition_stats
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+    header = F.array_join(F.slice(tokens_col("text"), 1, 4), " ")
+    multi = docs.select(
+        "doc_id",
+        F.concat(
+            header, F.lit("\n"), F.col("text"), F.lit("\n"), header,
+            F.when(F.col("doc_id") % 3 == 0,
+                   F.concat(F.lit("\n"), header)).otherwise(""),
+        ).alias("mtext"),
+    )
+    r = repetition_stats(multi, id_col="doc_id", text_col="mtext")
+    return r.select(
+        "doc_id", "n_lines",
+        F.round(F.col("dup_line_frac") * 1000).cast("bigint")
+        .alias("dup_line_frac_milli"),
+        "n_tokens", "top_bigram_count",
+        F.round(F.col("top_bigram_frac") * 1000).cast("bigint")
+        .alias("top_bigram_frac_milli"),
+    )
+
+
+@register(
+    "pii_scrub",
+    r"""
+WITH synth AS (
+  SELECT doc_id,
+    text ||
+    (CASE WHEN doc_id % 4 = 0
+            THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                 || '@mail.example.com now'
+          WHEN doc_id % 4 = 1
+            THEN ' call +1 (555) 010-22' || CAST(doc_id % 10 AS VARCHAR)
+          WHEN doc_id % 4 = 2
+            THEN ' origin 10.0.' || CAST(doc_id % 250 AS VARCHAR)
+                 || '.7 logged'
+          ELSE '' END) AS ptext
+  FROM documents WHERE doc_id < 200
+),
+scrub AS (
+  SELECT doc_id, ptext,
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(ptext,
+          '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      '\+[0-9][0-9()\-. ]{6,}[0-9]', '<PHONE>', 'g') AS redacted
+  FROM synth
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(ptext,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(ptext,
+    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ipv4,
+  CAST(len(regexp_extract_all(ptext,
+    '\+[0-9][0-9()\-. ]{6,}[0-9]')) AS BIGINT) AS n_phones,
+  md5(redacted) AS redacted_md5
+FROM scrub
+""",
+)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (textstats.pii_stats): per-doc email /
+    IPv4 / phone counts and an md5 over the redacted text (pinning
+    replacement ORDER as well as the matches — IPs first so the phone
+    pattern can't half-eat an address). One planted artifact per doc
+    class; both engines run their own regex engines (Java vs RE2) over
+    patterns written to the portable common subset."""
+    from .operators.textstats import pii_stats
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+    synth = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 4 == 0,
+                   F.concat(F.lit(" contact user"),
+                            F.col("doc_id").cast("string"),
+                            F.lit("@mail.example.com now")))
+            .when(F.col("doc_id") % 4 == 1,
+                  F.concat(F.lit(" call +1 (555) 010-22"),
+                           (F.col("doc_id") % 10).cast("string")))
+            .when(F.col("doc_id") % 4 == 2,
+                  F.concat(F.lit(" origin 10.0."),
+                           (F.col("doc_id") % 250).cast("string"),
+                           F.lit(".7 logged")))
+            .otherwise(""),
+        ).alias("ptext"),
+    )
+    p = pii_stats(synth, id_col="doc_id", text_col="ptext")
+    return p.select(
+        "doc_id", "n_emails", "n_ipv4", "n_phones",
+        F.md5("redacted").alias("redacted_md5"),
+    )

@@ -197,3 +197,113 @@ def simhash_dup_groups(
         id_col, "simhash",
         F.count(F.lit(1)).over(w).cast("bigint").alias("group_size"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition filters + PII detection (round-4 additions)
+# ---------------------------------------------------------------------------
+
+def repetition_stats(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-doc repetition features for boilerplate filtering (the
+    duplicate-line and repeated-n-gram fractions of Rae et al. 2021,
+    "Scaling Language Models" §A1.1, public paper): (id, n_lines,
+    dup_line_frac, n_tokens, top_bigram_count, top_bigram_frac).
+
+    - ``dup_line_frac`` — fraction of non-empty lines that repeat an
+      earlier line. Pure array Columns (``array_distinct`` over the
+      split), zero shuffle.
+    - ``top_bigram_frac`` — fraction of tokens covered by the most
+      frequent adjacent word pair: one explode + one (doc, bigram)
+      hash aggregate + one (doc) max — both aggregates map-side
+      partial, keyed by doc so skew equals the longest document, which
+      ``max_tokens``-style truncation upstream bounds.
+    """
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), "\n"), lambda s: F.trim(s)),
+        lambda s: s != "",
+    )
+    base = docs.select(
+        id_col,
+        tokens_col(text_col).alias("toks"),
+        F.size(lines).alias("n_lines"),
+        (
+            F.when(
+                F.size(lines) > 0,
+                1.0 - F.size(F.array_distinct(lines)) / F.size(lines),
+            ).otherwise(0.0)
+        ).alias("dup_line_frac"),
+    )
+    bigrams = base.select(
+        id_col, "n_lines", "dup_line_frac",
+        F.size("toks").alias("n_tokens"),
+        F.explode_outer(
+            # sequence(1,0) counts DOWN in Spark — guard short docs
+            F.when(
+                F.size("toks") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - 1),
+                    lambda i: F.concat(
+                        F.element_at("toks", i), F.lit(" "),
+                        F.element_at("toks", i + 1),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("bigram"),
+    )
+    counts = bigrams.groupBy(
+        id_col, "n_lines", "dup_line_frac", "n_tokens", "bigram"
+    ).agg(F.count(F.lit(1)).alias("c"))
+    return counts.groupBy(id_col, "n_lines", "dup_line_frac", "n_tokens").agg(
+        F.max(F.when(F.col("bigram").isNotNull(), F.col("c")).otherwise(0))
+        .cast("bigint").alias("top_bigram_count"),
+    ).select(
+        id_col, "n_lines", "dup_line_frac", "n_tokens", "top_bigram_count",
+        F.when(
+            F.col("n_tokens") >= 2,
+            2.0 * F.col("top_bigram_count") / F.col("n_tokens"),
+        ).otherwise(0.0).alias("top_bigram_frac"),
+    )
+
+
+# PII patterns: conservative, portable across Java regex (Spark) and RE2
+# (DuckDB) — no lookaround, no backreferences. Redaction order matters:
+# IPs first (an IPv4 inside a longer digit run must not be half-eaten by
+# the phone pattern), then emails, then phones.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PII_PHONE_RE = r"\+[0-9][0-9()\-. ]{6,}[0-9]"
+
+
+def pii_stats(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-doc PII detection + redaction: (id, n_emails, n_ipv4,
+    n_phones, redacted). Counts are ``regexp_count``; ``redacted``
+    replaces matches with <EMAIL>/<IP>/<PHONE> tokens in the order the
+    module constant block documents. Pure Column expressions — the
+    scrub rides the scan with zero shuffle, which is the only shape
+    that survives a 100 TB pass.
+
+    The phone pattern requires a leading ``+`` (international form) to
+    keep false positives off prices/ids; swap in a locale pack for
+    production scrubbing.
+    """
+    t = F.col(text_col)
+    redacted = F.regexp_replace(t, PII_IPV4_RE, "<IP>")
+    redacted = F.regexp_replace(redacted, PII_EMAIL_RE, "<EMAIL>")
+    redacted = F.regexp_replace(redacted, PII_PHONE_RE, "<PHONE>")
+    return docs.select(
+        id_col,
+        F.regexp_count(t, F.lit(PII_EMAIL_RE)).cast("bigint").alias("n_emails"),
+        F.regexp_count(t, F.lit(PII_IPV4_RE)).cast("bigint").alias("n_ipv4"),
+        F.regexp_count(t, F.lit(PII_PHONE_RE)).cast("bigint").alias("n_phones"),
+        redacted.alias("redacted"),
+    )

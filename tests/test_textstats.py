@@ -101,3 +101,55 @@ def test_simhash_group_sizes(docs_df):
     }
     assert got[1] == got[2] == got[5] == 3
     assert got[3] == 1
+
+
+def test_repetition_stats_pinned(spark):
+    from splade_spark.operators.textstats import repetition_stats
+
+    rows = [
+        # 4 non-empty lines, "promo line" repeats twice -> dup 1/4;
+        # tokens: promo line appears 3x -> bigram "promo line" count 3
+        ("d1", "promo line\nreal content here\npromo line\n\nends promo line"),
+        ("d2", "solo"),          # 1 token -> no bigrams, frac 0
+        ("d3", ""),              # empty -> zeros
+        ("d4", "a b a b a b"),   # "a b" x3, "b a" x2 -> top 3, frac 6/6
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {r["doc_id"]: r.asDict() for r in repetition_stats(df).collect()}
+
+    assert got["d1"]["n_lines"] == 4
+    assert got["d1"]["dup_line_frac"] == pytest.approx(0.25)
+    assert got["d1"]["top_bigram_count"] == 3
+    assert got["d2"]["n_tokens"] == 1
+    assert got["d2"]["top_bigram_count"] == 0
+    assert got["d2"]["top_bigram_frac"] == 0.0
+    assert got["d3"]["n_lines"] == 0
+    assert got["d3"]["dup_line_frac"] == 0.0
+    assert got["d4"]["top_bigram_count"] == 3
+    assert got["d4"]["top_bigram_frac"] == pytest.approx(1.0)
+
+
+def test_pii_stats_counts_and_redaction_order(spark):
+    from splade_spark.operators.textstats import pii_stats
+
+    rows = [
+        ("d1", "mail a.b+c@ex-site.org or x@y.io, host 192.168.1.4 "
+               "call +44 20 7946 0958 end"),
+        ("d2", "no pii at all"),
+        # an IPv4 must redact as <IP>, not get half-eaten by the phone
+        # pattern (which needs a leading +)
+        ("d3", "+1 555-010-2233 then 10.20.30.40"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {r["doc_id"]: r.asDict() for r in pii_stats(df).collect()}
+
+    assert (got["d1"]["n_emails"], got["d1"]["n_ipv4"], got["d1"]["n_phones"]) \
+        == (2, 1, 1)
+    assert "<EMAIL>" in got["d1"]["redacted"]
+    assert "<IP>" in got["d1"]["redacted"]
+    assert "<PHONE>" in got["d1"]["redacted"]
+    assert "ex-site" not in got["d1"]["redacted"]
+    assert got["d2"]["redacted"] == "no pii at all"
+    assert (got["d2"]["n_emails"], got["d2"]["n_ipv4"], got["d2"]["n_phones"]) \
+        == (0, 0, 0)
+    assert got["d3"]["redacted"] == "<PHONE> then <IP>"
