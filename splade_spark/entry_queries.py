@@ -2950,3 +2950,41 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_emails", "n_ipv4", "n_phones",
         F.md5("redacted").alias("redacted_md5"),
     )
+
+
+@register(
+    "doc_chunks",
+    f"""
+WITH tok AS (
+  SELECT doc_id, {tokens_sql('text')} AS t
+  FROM documents WHERE doc_id < 200
+),
+ks AS (
+  SELECT doc_id, t, len(t) AS n, unnest(range(0, 20)) AS k FROM tok
+),
+valid AS (
+  SELECT doc_id, n, k,
+         array_to_string(list_slice(t, k * 32 + 1, k * 32 + 48), ' ')
+           AS chunk_text
+  FROM ks WHERE k * 32 < greatest(n, 1)
+)
+SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
+       CAST(count(*) OVER (PARTITION BY doc_id) AS BIGINT) AS n_chunks,
+       CAST(least(greatest(n - k * 32, 0), 48) AS BIGINT) AS n_chunk_tokens,
+       chunk_text
+FROM valid
+""",
+)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data chunking (textstats.chunk_documents): overlapping
+    token windows (chunk 48, overlap 16 → step 32), one generator per
+    doc, no shuffle. The oracle re-derives the window rule with an
+    unnest-range + list_slice formulation; value hashes pin chunk text,
+    count, and trailing-window lengths (including the empty-doc
+    one-empty-chunk rule)."""
+    from .operators.textstats import chunk_documents
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+    return chunk_documents(
+        docs, chunk_tokens=48, overlap=16, max_tokens=256
+    )

@@ -307,3 +307,63 @@ def pii_stats(
         F.regexp_count(t, F.lit(PII_PHONE_RE)).cast("bigint").alias("n_phones"),
         redacted.alias("redacted"),
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 128,
+    overlap: int = 32,
+    max_tokens: int = 100_000,
+) -> DataFrame:
+    """Split documents into overlapping token windows for training:
+    (id, chunk_id, n_chunks, n_chunk_tokens, chunk_text).
+
+    Windows start every ``chunk_tokens - overlap`` tokens; window k
+    covers tokens ``[k·step, k·step + chunk_tokens)``; windows exist
+    while ``k·step < n_tokens`` (an empty document yields one empty
+    chunk so no row is silently lost). Trailing windows may be shorter
+    than ``chunk_tokens`` — deterministic and join-back-able by
+    (id, chunk_id).
+
+    One projection + one generator (posexplode) per doc — no shuffle,
+    no Python; the chunker rides the scan. At 100 TB the output is
+    written partitioned by whatever the training mix needs; nothing
+    here forces a repartition.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    step = chunk_tokens - overlap
+    t = docs.select(
+        id_col, tokens_col(text_col, max_tokens=max_tokens).alias("toks")
+    )
+    n = F.greatest(F.size("toks"), F.lit(1))
+    ks = F.sequence(F.lit(0), F.ceil(n / F.lit(step)).cast("int") - 1)
+    ks = F.filter(ks, lambda k: k * step < n)
+    chunks = t.select(
+        id_col,
+        F.size("toks").alias("n_tokens"),
+        F.size(ks).cast("bigint").alias("n_chunks"),
+        F.posexplode(
+            F.transform(
+                ks,
+                lambda k: F.array_join(
+                    F.slice("toks", k * step + 1, chunk_tokens), " "
+                ),
+            )
+        ).alias("chunk_id", "chunk_text"),
+    )
+    return chunks.select(
+        id_col,
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        "n_chunks",
+        F.least(
+            F.greatest(
+                F.col("n_tokens") - F.col("chunk_id") * step, F.lit(0)
+            ),
+            F.lit(chunk_tokens),
+        ).cast("bigint").alias("n_chunk_tokens"),
+        "chunk_text",
+    )

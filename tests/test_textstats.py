@@ -153,3 +153,40 @@ def test_pii_stats_counts_and_redaction_order(spark):
     assert (got["d2"]["n_emails"], got["d2"]["n_ipv4"], got["d2"]["n_phones"]) \
         == (0, 0, 0)
     assert got["d3"]["redacted"] == "<PHONE> then <IP>"
+
+
+def test_chunk_documents_windows(spark):
+    from splade_spark.operators.textstats import chunk_documents
+
+    rows = [
+        ("d1", " ".join(f"t{i}" for i in range(10))),  # 10 toks
+        ("d2", "one two"),                             # fits one chunk
+        ("d3", ""),                                    # empty -> 1 empty chunk
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = chunk_documents(df, chunk_tokens=4, overlap=2)  # step 2
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["doc_id"], {})[r["chunk_id"]] = (
+            r["chunk_text"], r["n_chunk_tokens"], r["n_chunks"]
+        )
+    # d1: starts 0,2,4,6,8 -> 5 chunks; last is the 2-token tail
+    assert sorted(got["d1"]) == [0, 1, 2, 3, 4]
+    assert got["d1"][0] == ("t0 t1 t2 t3", 4, 5)
+    assert got["d1"][1][0] == "t2 t3 t4 t5"
+    assert got["d1"][4] == ("t8 t9", 2, 5)
+    assert got["d2"] == {0: ("one two", 2, 1)}
+    assert got["d3"] == {0: ("", 0, 1)}
+    # windows reconstruct the doc: every token appears in some chunk
+    toks = set()
+    for text, _, _ in got["d1"].values():
+        toks.update(text.split())
+    assert toks == {f"t{i}" for i in range(10)}
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    from splade_spark.operators.textstats import chunk_documents
+
+    df = spark.createDataFrame([("d", "x")], "doc_id string, text string")
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=4, overlap=4)
