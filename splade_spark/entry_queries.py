@@ -2988,3 +2988,49 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(
         docs, chunk_tokens=48, overlap=16, max_tokens=256
     )
+
+
+# integer keep-thresholds (rate * 2^32) shared verbatim by both engines
+_MIX_THR = {"en": int(0.1 * 2**32), "de": int(0.5 * 2**32),
+            "fr": int(1.0 * 2**32)}
+_HOLDOUT_THR = int(0.25 * 2**32)
+
+
+@register(
+    "stratified_sample_mix",
+    f"""
+WITH u AS (
+  SELECT doc_id, lang,
+    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':mix1'), 1, 8))::BIGINT AS u32,
+    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':split0'), 1, 8))::BIGINT AS s32
+  FROM documents
+)
+SELECT doc_id, lang,
+       CASE WHEN s32 < {_HOLDOUT_THR} THEN 'holdout' ELSE 'train' END AS split
+FROM u
+WHERE u32 < CASE lang WHEN 'en' THEN {_MIX_THR['en']}
+                      WHEN 'de' THEN {_MIX_THR['de']}
+                      WHEN 'fr' THEN {_MIX_THR['fr']}
+                      ELSE 0 END
+""",
+)
+def stratified_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-mix sampling (operators/sampling.py):
+    per-language keep rates (en 10%, de 50%, fr 100%, others dropped)
+    decided by an integer-exact salted-md5 rule, plus a disjoint
+    train/holdout split column from an independent salt. The oracle
+    reruns the same rule in DuckDB — identical row picks pin the hash,
+    the thresholds, and the salt separation. Unlike ``df.sample`` this
+    is partition-order independent: the judge can repartition either
+    side and the hash still matches."""
+    from .operators.sampling import split_column, stratified_sample
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    kept = stratified_sample(
+        docs, key_col="doc_id", strata_col="lang",
+        rates={"en": 0.1, "de": 0.5, "fr": 1.0}, salt="mix1",
+    )
+    return kept.select(
+        "doc_id", "lang",
+        split_column("doc_id", holdout_frac=0.25, salt="split0").alias("split"),
+    )
