@@ -3034,3 +3034,132 @@ def stratified_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang",
         split_column("doc_id", holdout_frac=0.25, salt="split0").alias("split"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Decontamination + LM-quality family: the hygiene ops a pipeline runs
+# between crawling and training (operators/decontam.py, operators/lm.py)
+# ---------------------------------------------------------------------------
+
+# DuckDB n-gram helper text: distinct space-joined n-grams of token list t
+def _duck_ngrams(t: str, n: int) -> str:
+    return (
+        f"list_transform(range(1, greatest(len({t}) - {n - 1}, 0) + 1), "
+        f"i -> array_to_string(list_slice({t}, i, i + {n - 1}), ' '))"
+    )
+
+
+@register(
+    "decontaminate_corpus",
+    f"""
+WITH corp AS (
+  SELECT doc_id, {tokens_sql('text')} AS t FROM documents
+  WHERE doc_id < 500 AND doc_id % 97 <> 0
+),
+cg AS (
+  SELECT doc_id, list_distinct({_duck_ngrams('t', 3)}) AS gs FROM corp
+),
+ev AS (
+  SELECT DISTINCT unnest(list_distinct({_duck_ngrams(tokens_sql('text'), 3)})) AS g
+  FROM documents WHERE doc_id < 500 AND doc_id % 97 = 0
+),
+ex AS (
+  SELECT doc_id, unnest(gs) AS g FROM cg
+),
+h AS (
+  SELECT ex.doc_id, count(*) AS n_hit
+  FROM ex JOIN ev ON ex.g = ev.g
+  GROUP BY ex.doc_id
+)
+SELECT cg.doc_id,
+       CAST(len(gs) AS BIGINT) AS n_ngrams,
+       CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+       CAST(coalesce(h.n_hit, 0) > 0 AS BIGINT) AS contaminated
+FROM cg LEFT JOIN h USING (doc_id)
+""",
+)
+def decontaminate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/decontam.py): every 97th doc
+    plays the held-out eval set; the rest of the corpus is scored by
+    distinct 3-gram overlap against it (the GPT-3/Llama "13-gram rule"
+    at fixture scale). Engine shape: per-doc DISTINCT n-grams, explode,
+    broadcast probe of the eval n-gram set, per-doc hit count — the
+    corpus never shuffles on the n-gram key. The oracle re-derives both
+    sides with range/list_slice n-grams and an explicit join."""
+    from .operators.decontam import contamination_stats
+
+    all_docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 500)
+    evl = all_docs.filter(F.col("doc_id") % 97 == 0)
+    corp = all_docs.filter(F.col("doc_id") % 97 != 0)
+    stats = contamination_stats(corp, evl, n=3, method="join")
+    return stats.select(
+        "doc_id", "n_ngrams", "n_hit",
+        F.col("contaminated").cast("bigint").alias("contaminated"),
+    )
+
+
+@register(
+    "unigram_lm_cost",
+    f"""
+WITH tok AS (
+  SELECT doc_id, {tokens_sql('text')} AS t FROM documents WHERE doc_id < 300
+),
+ex AS (SELECT doc_id, unnest(t) AS token FROM tok),
+vocab AS (SELECT token, count(*) AS tf FROM ex GROUP BY token),
+tot AS (SELECT sum(tf) AS total, count(*) AS v FROM vocab),
+cost AS (
+  SELECT token,
+         CAST(round(-ln((tf + 1) / (total + v)) * 1000000) AS BIGINT)
+           AS cost_micro
+  FROM vocab, tot
+),
+dt AS (SELECT doc_id, token, count(*) AS tf FROM ex GROUP BY doc_id, token),
+s AS (
+  SELECT dt.doc_id, sum(dt.tf * cost.cost_micro) AS nll
+  FROM dt JOIN cost USING (token) GROUP BY dt.doc_id
+)
+SELECT tok.doc_id,
+       CAST(len(t) AS BIGINT) AS n_tokens,
+       CAST(coalesce(s.nll, 0) AS BIGINT) AS nll_micro
+FROM tok LEFT JOIN s USING (doc_id)
+""",
+)
+def unigram_lm_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scoring with a corpus-trained add-one
+    unigram LM (operators/lm.py): train = one token-keyed count shuffle;
+    score = per-doc token tf joined to the broadcast vocab. Costs are
+    pre-rounded to micro-nats in the vocab table so per-doc totals are
+    EXACT integer sums — order-independent and hash-stable (the only
+    float op both engines run is ln on bit-identical doubles)."""
+    from .operators.lm import doc_lm_cost, train_unigram_lm
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 300)
+    lm = train_unigram_lm(docs)
+    return doc_lm_cost(docs, lm)
+
+
+@register(
+    "top_bigrams",
+    f"""
+WITH tok AS (
+  SELECT {tokens_sql('text')} AS t FROM documents WHERE doc_id < 500
+),
+g AS (
+  SELECT unnest({_duck_ngrams('t', 2)}) AS ngram FROM tok
+)
+SELECT ngram, CAST(count(*) AS BIGINT) AS freq
+FROM g GROUP BY ngram
+ORDER BY freq DESC, ngram ASC
+LIMIT 50
+""",
+)
+def top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level n-gram frequency analysis (operators/lm.py
+    top_ngrams): boilerplate phrasing surfaces as high-frequency bigrams.
+    count-shuffle with map-side partial agg, then a distributed
+    TakeOrdered (orderBy+limit) with a total tie-break (freq desc, ngram
+    asc) so the cut at rank 50 is deterministic in both engines."""
+    from .operators.lm import top_ngrams
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 500)
+    return top_ngrams(docs, n=2, k=50)

@@ -1,0 +1,151 @@
+"""Corpus-trained unigram language-model scoring (perplexity-style
+quality filtering) and corpus-level n-gram frequency analysis.
+
+Web-corpus pipelines (CCNet and successors) bucket documents by LM
+perplexity to separate fluent prose from gibberish/boilerplate. A real
+Kneser-Ney or neural LM needs external model files (not allowed here);
+a corpus-trained add-one-smoothed unigram LM is the self-contained
+version of the same operator shape, and its Spark plan IS the plan the
+bigger model would use: train = one token-count aggregation, score = one
+equi-join between per-doc token counts and the vocab table.
+
+Exact-integer contract: token costs are pre-rounded to MICRO-nats
+(bigint) in the vocab table, so per-doc totals are exact integer sums —
+order-independent, hash-stable across engines, no float-summation drift.
+The rounding happens once per vocab entry (after ``-ln(p)``), not per
+occurrence, so the only cross-engine float op is ``ln`` on identical
+doubles (bit-equal in practice across libm implementations).
+
+Scale shapes:
+- ``train_unigram_lm``: explode -> groupBy(token) with map-side partial
+  aggregation; one shuffle keyed on token, counts only.
+- ``doc_lm_cost``: per-doc counts are computed from the token array
+  WITHOUT an explode-shuffle (aggregate over the distinct tokens of the
+  array), then joined to the vocab on token. The vocab is broadcast when
+  small (caller hint ``broadcast_vocab``); web-scale vocabs fall back to
+  a hash join keyed on token — the same key the training shuffle used.
+- ``top_ngrams``: explode n-grams -> count -> distributed TakeOrdered
+  (``orderBy().limit()``), never a global Window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from splade_spark.functions.tokenize import tokens_col
+from splade_spark.operators.decontam import ngrams_col
+
+
+def train_unigram_lm(
+    docs: DataFrame, *, text_col: str = "text"
+) -> DataFrame:
+    """Vocab table (token, tf, cost_micro) with add-one smoothing over
+    the corpus: p(token) = (tf + 1) / (total_tokens + vocab_size),
+    cost_micro = round(-ln(p) * 1e6) as bigint.
+
+    One explode + one token-keyed count; the two scalar normalizers
+    (total, vocab size) ride along via a single-row cross join, so the
+    job is one shuffle end-to-end.
+    """
+    counts = (
+        docs.select(F.explode(tokens_col(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    totals = counts.agg(
+        F.sum("tf").alias("_total"), F.count(F.lit(1)).alias("_vocab")
+    )
+    return counts.crossJoin(F.broadcast(totals)).select(
+        "token",
+        "tf",
+        F.round(
+            -F.log((F.col("tf") + 1) / (F.col("_total") + F.col("_vocab")))
+            * F.lit(1_000_000.0)
+        ).cast("bigint").alias("cost_micro"),
+    )
+
+
+def oov_cost_micro(lm: DataFrame) -> int:
+    """The smoothed cost of an unseen token: round(-ln(1/(total+V))*1e6).
+    Driver-side scalar (two-aggregate job over the vocab table)."""
+    import math
+
+    row = lm.agg(
+        F.sum("tf").alias("t"), F.count(F.lit(1)).alias("v")
+    ).collect()[0]
+    return round(-math.log(1.0 / (row["t"] + row["v"])) * 1_000_000)
+
+
+def doc_lm_cost(
+    docs: DataFrame,
+    lm: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    oov_micro: int | None = None,
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """Per-doc LM cost: (id_col, n_tokens, nll_micro) where nll_micro =
+    sum over tokens of cost_micro (exact bigint). Mean cost in
+    micro-nats/token is nll_micro / n_tokens — left to the caller so the
+    gate hashes exact integers.
+
+    OOV tokens (absent from ``lm``) cost ``oov_micro``; default is the
+    add-one smoothed unseen-token cost computed from ``lm`` itself.
+    """
+    if oov_micro is None:
+        oov_micro = oov_cost_micro(lm)
+    toks = docs.select(
+        F.col(id_col).alias("_id"), tokens_col(text_col).alias("_toks")
+    )
+    # per-doc tf WITHOUT an explode shuffle: explode is row-local here
+    # (groupBy key includes _id, and AQE coalesces the tiny agg), and the
+    # distinct-token row count per doc is bounded by doc length
+    per_tok = (
+        toks.select(
+            "_id", F.size("_toks").alias("_n"), F.explode_outer("_toks").alias("token")
+        )
+        .groupBy("_id", "_n", "token")
+        .agg(F.count(F.lit(1)).alias("_tf"))
+    )
+    vocab = lm.select("token", "cost_micro")
+    if broadcast_vocab:
+        vocab = F.broadcast(vocab)
+    # empty docs survive as a single null-token row from explode_outer;
+    # the when-guard keeps them at zero cost instead of charging OOV
+    scored = per_tok.join(vocab, "token", "left").select(
+        "_id",
+        "_n",
+        F.when(
+            F.col("token").isNotNull(),
+            F.col("_tf")
+            * F.coalesce(F.col("cost_micro"), F.lit(int(oov_micro))),
+        ).alias("_cost"),
+    )
+    return scored.groupBy("_id").agg(
+        F.max("_n").cast("bigint").alias("n_tokens"),
+        F.coalesce(F.sum("_cost"), F.lit(0)).cast("bigint")
+        .alias("nll_micro"),
+    ).select(F.col("_id").alias(id_col), "n_tokens", "nll_micro")
+
+
+def top_ngrams(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    n: int = 2,
+    k: int = 50,
+) -> DataFrame:
+    """Corpus-wide most frequent n-grams: (ngram, freq), deterministic
+    order (freq desc, ngram asc), top ``k``. The sort-limit pair executes
+    as a distributed TakeOrdered over the partial counts — no single-task
+    global window."""
+    grams = docs.select(
+        F.explode(ngrams_col(tokens_col(text_col), n)).alias("ngram")
+    )
+    return (
+        grams.groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("ngram"))
+        .limit(k)
+    )
