@@ -3163,3 +3163,67 @@ def top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 500)
     return top_ngrams(docs, n=2, k=50)
+
+
+# decontaminate -> build -> retrieve, the pre-training variant of the
+# bm25_topk_deduped curation loop: the eval slice (every 97th doc) must
+# not leak into the index, and neither may any training doc that shares a
+# 3-gram with it. The oracle recomputes the keep-set and runs rank-only
+# BM25 over it.
+_BM25_DECONTAM_SQL_DUCK = (
+    f"""WITH corp0 AS (
+  SELECT doc_id, {tokens_sql('text')} AS t FROM documents WHERE doc_id % 97 <> 0
+),
+cg AS (
+  SELECT doc_id, list_distinct({_duck_ngrams('t', 3)}) AS gs FROM corp0
+),
+ev AS (
+  SELECT DISTINCT unnest(list_distinct({_duck_ngrams(tokens_sql('text'), 3)})) AS g
+  FROM documents WHERE doc_id % 97 = 0
+),
+cx AS (SELECT doc_id, unnest(gs) AS g FROM cg),
+contaminated AS (SELECT DISTINCT cx.doc_id FROM cx JOIN ev ON cx.g = ev.g),
+documents_kept AS (
+  SELECT * FROM documents
+  WHERE doc_id % 97 <> 0
+    AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+),
+"""
+    + (
+        _BM25_BODY.replace("FROM documents", "FROM documents_kept")
+        .replace("{TOK}", tokens_sql("text"))
+        .replace("{QTOK}", tokens_sql("qtext"))
+        .replace("{STR}", "VARCHAR")
+        .replace("{UNNEST}", "unnest")
+        .lstrip()
+        .removeprefix("WITH ")
+    )
+    + f"SELECT query_id, CAST(rank AS INT) AS rank, doc_id FROM ranked WHERE rank <= {TOPK}"
+)
+
+
+@register("bm25_topk_decontaminated", _BM25_DECONTAM_SQL_DUCK)
+def bm25_topk_decontaminated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-training curation end-to-end: hold out every 97th doc as the
+    eval set, drop every training doc sharing a distinct 3-gram with it
+    (`operators.decontam.decontaminate`, broadcast-probe join), then
+    build the index over the survivors and retrieve
+    (`build_index` -> `retrieve(strategy="wand")`). The oracle recomputes
+    the keep-set and rank-only BM25 over it in DuckDB, so a doc wrongly
+    kept or dropped shifts every downstream statistic (df, avgdl, ranks)
+    and fails the hash."""
+    from .operators.decontam import decontaminate
+    from .operators.indexing import build_index
+    from .operators.query import retrieve
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    evl = docs.filter(F.col("doc_id") % 97 == 0)
+    corp = docs.filter(F.col("doc_id") % 97 != 0)
+    kept = decontaminate(corp, evl, n=3)
+    idx = build_index(kept, id_col="doc_id", text_col="text")
+    queries = spark.createDataFrame(BM25_QUERIES, "query_id string, text string")
+    res = retrieve(idx, queries, k=TOPK, strategy="wand")
+    return res.select(
+        "query_id", F.col("rank").cast("int").alias("rank"),
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+    )
