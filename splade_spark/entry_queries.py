@@ -3227,3 +3227,57 @@ def bm25_topk_decontaminated(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", F.col("rank").cast("int").alias("rank"),
         F.col("doc_id").cast("bigint").alias("doc_id"),
     )
+
+
+@register(
+    "embedding_near_dup_lsh",
+    f"""
+WITH e AS (
+  SELECT vec_id, embedding,
+         (SELECT CAST(sum(CASE WHEN embedding[i + 1] > 0
+                          THEN CAST(pow(2, i) AS BIGINT) ELSE 0 END) AS BIGINT)
+          FROM (SELECT unnest(range({LSH_DIMS})) AS i)) AS bucket
+  FROM embeddings
+),
+ex AS (
+  SELECT vec_id, bucket, unnest(embedding) AS v,
+         unnest(range(1, len(embedding) + 1)) AS pos
+  FROM e
+),
+norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ex GROUP BY vec_id),
+dots AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.v * b.v) AS dot
+  FROM ex a JOIN ex b ON a.pos = b.pos AND a.bucket = b.bucket
+                     AND a.vec_id < b.vec_id
+  GROUP BY a.vec_id, b.vec_id
+),
+cos AS (
+  SELECT d.id_a, d.id_b, d.dot / (na.nrm * nb.nrm) AS c
+  FROM dots d JOIN norms na ON na.vec_id = d.id_a
+              JOIN norms nb ON nb.vec_id = d.id_b
+)
+SELECT id_a, id_b, CAST(round(c * 1000000) AS BIGINT) AS cos_micro
+FROM cos WHERE round(c * 1000000) >= 300000
+""",
+)
+def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup at scale (`operators.dedup
+    .embedding_near_dup_pairs`): sign-LSH bucket equi-join instead of the
+    all-pairs cross join of the `embedding_near_dup` demo — the
+    production path whose pair cost follows bucket occupancy, not n^2.
+    Pinned at the axis-aligned 8-bit bucket (DuckDB-portable); the
+    threshold test runs on the ROUNDED micro value in both engines so no
+    pair can straddle the cut by a final-ulp difference. The synthetic
+    embeddings hold no true near-dups (max in-bucket cosine ~0.43), so
+    the gate pins the pipeline at the 0.30 level the fixtures populate;
+    production thresholds (0.9+) are the same plan."""
+    from .operators.dedup import embedding_near_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup_pairs(
+        emb, n_bits=LSH_DIMS, threshold=0.0, hyperplanes="axis"
+    )
+    return pairs.select(
+        "id_a", "id_b",
+        F.round(F.col("cos") * 1e6).cast("bigint").alias("cos_micro"),
+    ).filter(F.col("cos_micro") >= 300000)

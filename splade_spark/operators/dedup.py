@@ -330,3 +330,75 @@ def deduplicate_corpus(
     )
     cc = connected_components(pairs, max_iter=max_iter)
     return dedup_drop_list(docs, cc, id_col=id_col)
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = 8,
+    threshold: float = 0.7,
+    hyperplanes: str = "axis",
+    seed: int = 7,
+    dim: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs at scale: bucket vectors by
+    sign-LSH, score cosine ONLY within a bucket, keep pairs at or above
+    ``threshold``. Returns (id_a, id_b, cos) with id_a < id_b.
+
+    This is the production counterpart of the brute-force all-pairs demo
+    (entry ``embedding_near_dup``): the self-join is an equi-join on the
+    bucket key — one hash-partitioned shuffle, never a cross join — so
+    pair-generation cost follows bucket occupancy, not corpus size
+    squared. Recall follows the LSH collision bound: a pair at cosine c
+    lands in the same bucket with probability (1 - acos(c)/pi)^n_bits;
+    near-dup thresholds (c >= 0.9) keep that high at 8 bits, and banding
+    over independent bucket functions recovers the rest if needed
+    (run with several ``seed`` values and union the pairs).
+
+    ``hyperplanes``: "axis" (first n_bits coordinates — portable to the
+    DuckDB oracle bit-for-bit) or "random" (seeded hash-derived
+    projections from ``operators.ann.random_hyperplane_bucket``, which
+    needs the vector width ``dim`` — the production pick for anisotropic
+    embeddings).
+    """
+    from splade_spark.operators.ann import (
+        random_hyperplane_bucket,
+        sign_lsh_bucket,
+    )
+
+    if hyperplanes == "random":
+        if dim is None:
+            raise ValueError("hyperplanes='random' needs dim= (vector width)")
+        bucket = random_hyperplane_bucket(
+            F.col(vec_col), n_bits, dim, seed=seed
+        )
+    elif hyperplanes == "axis":
+        bucket = sign_lsh_bucket(F.col(vec_col), n_bits)
+    else:
+        raise ValueError(f"unknown hyperplanes {hyperplanes!r}")
+    dot = lambda x, y: F.aggregate(  # noqa: E731
+        F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
+        F.lit(0.0),
+        lambda acc, p: acc + p,
+    )
+    e = emb.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        bucket.alias("_bucket"),
+    ).withColumn("_nrm", F.sqrt(dot(F.col("_v"), F.col("_v"))))
+    a, b = e.alias("a"), e.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a._bucket") == F.col("b._bucket"))
+        & (F.col("a._id") < F.col("b._id")),
+    ).select(
+        F.col("a._id").alias("id_a"),
+        F.col("b._id").alias("id_b"),
+        (
+            dot(F.col("a._v"), F.col("b._v"))
+            / (F.col("a._nrm") * F.col("b._nrm"))
+        ).alias("cos"),
+    )
+    return pairs.filter(F.col("cos") >= threshold)

@@ -164,3 +164,65 @@ def test_top_ngrams_deterministic_order(spark):
             freqs[g] = freqs.get(g, 0) + 1
     want = sorted(freqs.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
     assert [(r["ngram"], r["freq"]) for r in out] == want
+
+
+def test_decontam_plan_broadcasts_eval_side(spark):
+    docs, evl = _df(spark, CORPUS), _df(spark, EVAL)
+    # join strategy: the eval n-gram set must arrive as a broadcast hash
+    # join — the corpus side is never shuffled on the n-gram key
+    plan = (
+        contamination_stats(docs, evl, n=3, method="join")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # intersect strategy: single-row broadcast, zero joins on the corpus
+    # beyond the nested-loop broadcast of the one-row eval array
+    plan2 = (
+        contamination_stats(docs, evl, n=3, method="intersect")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" in plan2
+    assert "SortMergeJoin" not in plan2 and "ShuffledHashJoin" not in plan2
+
+
+def test_embedding_near_dup_pairs_modes(spark):
+    import math
+
+    from splade_spark.operators.dedup import embedding_near_dup_pairs
+
+    vecs = [
+        ("v1", [1.0, 0.5, 0.2, 0.1]),
+        ("v2", [0.9, 0.55, 0.18, 0.12]),   # near-dup of v1, same signs
+        ("v3", [-1.0, 0.5, 0.2, 0.1]),     # different bucket (sign flip)
+        ("v4", [1.0, -0.5, 0.2, 0.1]),     # different bucket
+        ("v5", [0.2, 0.9, 0.4, 0.3]),      # same bucket as v1, low cos
+    ]
+    emb = spark.createDataFrame(vecs, "vec_id string, embedding array<float>")
+
+    def cos(x, y):
+        # float32 casts first, like the Column pipeline
+        import numpy as np
+        a, b = np.array(x, np.float32).astype(float), np.array(y, np.float32).astype(float)
+        return float(a @ b / (math.sqrt(a @ a) * math.sqrt(b @ b)))
+
+    got = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in embedding_near_dup_pairs(
+            emb, n_bits=4, threshold=0.9, hyperplanes="axis"
+        ).collect()
+    }
+    # only (v1, v2) share a bucket AND clear 0.9; (v1, v5) share the
+    # bucket but score below threshold; v3/v4 are in other buckets
+    assert set(got) == {("v1", "v2")}
+    assert abs(got[("v1", "v2")] - cos(vecs[0][1], vecs[1][1])) < 1e-9
+    # random-hyperplane mode is deterministic across invocations and
+    # never pairs a vector with itself
+    r1 = sorted(map(tuple, embedding_near_dup_pairs(
+        emb, n_bits=4, threshold=0.0, hyperplanes="random", seed=3, dim=4
+    ).collect()))
+    r2 = sorted(map(tuple, embedding_near_dup_pairs(
+        emb, n_bits=4, threshold=0.0, hyperplanes="random", seed=3, dim=4
+    ).collect()))
+    assert r1 == r2
+    assert all(a != b for a, b, _ in r1)
