@@ -3281,3 +3281,73 @@ def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id_a", "id_b",
         F.round(F.col("cos") * 1e6).cast("bigint").alias("cos_micro"),
     ).filter(F.col("cos_micro") >= 300000)
+
+
+@register(
+    "boilerplate_stripped",
+    """
+WITH d AS (
+  SELECT doc_id, source,
+         'nav menu ' || source || chr(10) || text || chr(10)
+           || 'copyright ' || source AS mtext
+  FROM documents WHERE doc_id < 400
+),
+l0 AS (SELECT doc_id, source, string_split(mtext, chr(10)) AS ls FROM d),
+l AS (
+  SELECT doc_id, source,
+         unnest(range(1, len(ls) + 1)) AS pos,
+         unnest(ls) AS line
+  FROM l0
+),
+ln AS (SELECT doc_id, source, pos, line, trim(line) AS norm FROM l),
+b AS (
+  SELECT source, norm FROM (
+    SELECT source, norm, count(DISTINCT doc_id) AS nd
+    FROM ln WHERE norm <> '' GROUP BY source, norm
+  ) WHERE nd >= 5
+),
+k AS (
+  SELECT ln.doc_id, ln.pos, ln.line
+  FROM ln LEFT JOIN b ON ln.source = b.source AND ln.norm = b.norm
+  WHERE b.norm IS NULL
+),
+tot AS (SELECT doc_id, count(*) AS n_lines FROM ln GROUP BY doc_id),
+reb AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(line, chr(10) ORDER BY pos) AS text
+  FROM k GROUP BY doc_id
+)
+SELECT tot.doc_id,
+       CAST(tot.n_lines AS BIGINT) AS n_lines,
+       CAST(coalesce(reb.n_kept, 0) AS BIGINT) AS n_kept,
+       md5(coalesce(reb.text, '')) AS clean_md5
+FROM tot LEFT JOIN reb USING (doc_id)
+""",
+)
+def boilerplate_stripped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate line removal
+    (`operators.textstats.strip_boilerplate_lines`) — the CCNet/
+    RefinedWeb page-cleaning stage: a trimmed line occurring in >= 5
+    distinct docs of the same source is chrome, dropped everywhere; body
+    lines survive in order. The fixture docs carry no newlines, so the
+    entry synthesizes the page structure (per-source nav header + body +
+    footer) byte-identically in both engines — the header/footer lines
+    repeat across every doc of a source and must vanish; each body line
+    is unique and must survive. Hash pins per-doc line counts and the
+    md5 of the rebuilt text."""
+    from .operators.textstats import strip_boilerplate_lines
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 400).select(
+        "doc_id", "source",
+        F.concat(
+            F.lit("nav menu "), F.col("source"), F.lit("\n"),
+            F.col("text"), F.lit("\n"),
+            F.lit("copyright "), F.col("source"),
+        ).alias("mtext"),
+    )
+    out = strip_boilerplate_lines(
+        docs, text_col="mtext", group_col="source", min_docs=5
+    )
+    return out.select(
+        "doc_id", "n_lines", "n_kept", F.md5("text").alias("clean_md5")
+    )

@@ -367,3 +367,71 @@ def chunk_documents(
         ).cast("bigint").alias("n_chunk_tokens"),
         "chunk_text",
     )
+
+
+def strip_boilerplate_lines(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str | None = None,
+    min_docs: int = 5,
+) -> DataFrame:
+    """CCNet/RefinedWeb-style cross-document boilerplate removal: a
+    trimmed non-empty line occurring in at least ``min_docs`` DISTINCT
+    documents of the same group (host/source; global when ``group_col``
+    is None) is navigation/footer chrome — drop it from every doc,
+    preserve all other lines in their original order.
+
+    Returns (id_col, n_lines, n_kept, text) with the cleaned text.
+
+    Scale shape: line frequencies are a distinct + two-level count keyed
+    on (group, line) — map-side combined, one shuffle; the boilerplate
+    set is tiny by construction (lines that repeat across >= min_docs
+    docs) so its removal is a BROADCAST left_anti join — the corpus'
+    line table is never shuffled on the line key; the per-doc rebuild
+    groups on the doc id. At 100 TB the only wide exchange is the
+    (group, line) count and the doc-id regroup, both hash-partitioned
+    aggregates.
+    """
+    gcol = F.col(group_col) if group_col else F.lit("")
+    lines = docs.select(
+        F.col(id_col).alias("_id"),
+        gcol.alias("_grp"),
+        F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")), "\n"))
+        .alias("_pos", "_line"),
+    ).withColumn("_norm", F.trim("_line"))
+    boiler = (
+        lines.filter(F.col("_norm") != "")
+        .select("_grp", "_norm", "_id")
+        .distinct()
+        .groupBy("_grp", "_norm")
+        .agg(F.count(F.lit(1)).alias("_ndocs"))
+        .filter(F.col("_ndocs") >= min_docs)
+        .select("_grp", "_norm")
+    )
+    kept = lines.join(F.broadcast(boiler), ["_grp", "_norm"], "left_anti")
+    rebuilt = (
+        kept.groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_pos", "_line"))),
+                    lambda s: s["_line"],
+                ),
+                "\n",
+            ).alias("text"),
+        )
+    )
+    totals = lines.groupBy("_id").agg(F.count(F.lit(1)).alias("n_lines"))
+    return (
+        totals.join(rebuilt, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("n_lines").cast("bigint").alias("n_lines"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint")
+            .alias("n_kept"),
+            F.coalesce(F.col("text"), F.lit("")).alias("text"),
+        )
+    )

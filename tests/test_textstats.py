@@ -190,3 +190,30 @@ def test_chunk_documents_rejects_bad_overlap(spark):
     df = spark.createDataFrame([("d", "x")], "doc_id string, text string")
     with pytest.raises(ValueError):
         chunk_documents(df, chunk_tokens=4, overlap=4)
+
+
+def test_strip_boilerplate_lines(spark):
+    from splade_spark.operators.textstats import strip_boilerplate_lines
+
+    # host A: 3 docs sharing nav+footer; host B: same nav text but only
+    # 2 docs (below min_docs) -> B keeps its chrome
+    rows = [
+        ("a1", "A", "NAV\nunique a1 body\n\nFOOT"),
+        ("a2", "A", "NAV\nunique a2 body\nFOOT"),
+        ("a3", "A", " NAV \nunique a3 body\nFOOT"),  # trims to same line
+        ("b1", "B", "NAV\nunique b1 body"),
+        ("b2", "B", "NAV\nunique b2 body"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, src string, text string")
+    out = strip_boilerplate_lines(
+        docs, group_col="src", min_docs=3
+    )
+    got = {r["doc_id"]: (r["n_lines"], r["n_kept"], r["text"]) for r in out.collect()}
+    # host A chrome stripped (incl. the padded " NAV " via trim), empty
+    # line inside a1 survives (only non-empty lines count as chrome)
+    assert got["a1"] == (4, 2, "unique a1 body\n")
+    assert got["a2"] == (3, 1, "unique a2 body")
+    assert got["a3"] == (3, 1, "unique a3 body")
+    # host B below threshold: untouched
+    assert got["b1"] == (2, 2, "NAV\nunique b1 body")
+    assert got["b2"] == (2, 2, "NAV\nunique b2 body")
