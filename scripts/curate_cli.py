@@ -8,7 +8,8 @@ continuously::
     spark-submit --py-files dist/splade_spark.zip scripts/curate_cli.py \
         --corpus /data/pages --index /data/index --output /data/index_v2 \
         [--id-col url --text-col text] \
-        [--n-hashes 128 --rows-per-band 4 --bucket-cap 1000]
+        [--n-hashes 128 --rows-per-band 4 --bucket-cap 1000] \
+        [--decontam-eval /data/benchmark --decontam-ngram 13]
 
 Steps (each a library operator, all oracle/test-gated):
 
@@ -17,10 +18,14 @@ Steps (each a library operator, all oracle/test-gated):
    URL; older snapshots join the tombstone set. One hash-partitioned
    window with map-side WindowGroupLimit — run this FIRST so the
    MinHash stage never shingles superseded snapshots;
+0.5 (``--decontam-eval``) ``decontam.contamination_stats`` — drop every
+   doc sharing a distinct n-gram with the held-out eval set (the
+   GPT-3/Llama rule); the eval n-gram set is broadcast so this stage
+   adds no corpus shuffle;
 1. ``deduplicate_corpus`` — MinHash+LSH candidates (bucketed equi-join,
    over-cap boilerplate routed to the linear fingerprint pass) →
    connected components → deterministic min-id survivor drop list;
-2. ``apply_tombstones`` — the union of both drop sets applied to the
+2. ``apply_tombstones`` — the union of all drop sets applied to the
    loaded index with exact df/idf/avgdl update (bit-identical to a
    rebuild on kept docs);
 3. save the curated index + a JSON summary.
@@ -63,6 +68,13 @@ def main() -> None:
                          "canonical URL (id column must be a URL)")
     ap.add_argument("--ts-col", default="warc_ts",
                     help="snapshot timestamp column for --snapshot-dedup")
+    ap.add_argument("--decontam-eval", default=None,
+                    help="parquet path of the held-out eval set; docs "
+                         "overlapping it by n-gram are tombstoned")
+    ap.add_argument("--decontam-ngram", type=int, default=13)
+    ap.add_argument("--decontam-max-hits", type=int, default=0)
+    ap.add_argument("--decontam-text-col", default=None,
+                    help="eval-set text column (defaults to --text-col)")
     ap.add_argument("--drop-list-out", default=None,
                     help="optional parquet path for the full per-doc drop list")
     ap.add_argument("--master", default=None)
@@ -99,6 +111,28 @@ def main() -> None:
         F.col(args.id_col).alias("doc_id"), F.col(args.text_col).alias("text")
     )
 
+    n_contam, t_decontam = 0, 0.0
+    contam_drops = None
+    if args.decontam_eval:
+        from splade_spark.operators.decontam import contamination_stats
+
+        t0 = time.perf_counter()
+        eval_docs = spark.read.parquet(args.decontam_eval)
+        stats = contamination_stats(
+            docs, eval_docs,
+            text_col="text",
+            eval_text_col=args.decontam_text_col or args.text_col,
+            n=args.decontam_ngram,
+            hash_ngrams=True,
+        )
+        contam_drops = (
+            stats.filter(F.col("n_hit") > args.decontam_max_hits)
+            .select("doc_id").persist()
+        )
+        n_contam = contam_drops.count()
+        t_decontam = time.perf_counter() - t0
+        docs = docs.join(contam_drops, "doc_id", "left_anti")
+
     t0 = time.perf_counter()
     drop_list = deduplicate_corpus(
         docs,
@@ -114,6 +148,8 @@ def main() -> None:
     t_dedup = time.perf_counter() - t0
     if snap_drops is not None:
         drops = drops.unionByName(snap_drops).distinct()
+    if contam_drops is not None:
+        drops = drops.unionByName(contam_drops).distinct()
 
     t0 = time.perf_counter()
     idx = InvertedIndex.load(spark, args.index)
@@ -125,9 +161,11 @@ def main() -> None:
         "stage": "curate", "output": args.output,
         "n_docs_before": int(idx.meta["n_docs"]),
         "n_snapshot_dropped": int(n_snap_drop),
+        "n_contaminated_dropped": int(n_contam),
         "n_neardup_dropped": int(n_drop),
         "n_docs_after": int(curated.meta["n_docs"]),
         "snapshot_sec": round(t_snap, 2),
+        "decontam_sec": round(t_decontam, 2),
         "dedup_sec": round(t_dedup, 2), "tombstone_sec": round(t_fold, 2),
     }))
     drop_list.unpersist()

@@ -19,11 +19,11 @@ doubles (bit-equal in practice across libm implementations).
 Scale shapes:
 - ``train_unigram_lm``: explode -> groupBy(token) with map-side partial
   aggregation; one shuffle keyed on token, counts only.
-- ``doc_lm_cost``: per-doc counts are computed from the token array
-  WITHOUT an explode-shuffle (aggregate over the distinct tokens of the
-  array), then joined to the vocab on token. The vocab is broadcast when
-  small (caller hint ``broadcast_vocab``); web-scale vocabs fall back to
-  a hash join keyed on token — the same key the training shuffle used.
+- ``doc_lm_cost``: explode -> per-(doc, token) count (ONE shuffle with
+  map-side combine; AQE coalesces the small post-agg partitions), vocab
+  join on token. The vocab is broadcast when small (caller hint
+  ``broadcast_vocab``); web-scale vocabs fall back to a hash join keyed
+  on token — the same key the training shuffle used.
 - ``top_ngrams``: explode n-grams -> count -> distributed TakeOrdered
   (``orderBy().limit()``), never a global Window.
 """
@@ -51,6 +51,11 @@ def train_unigram_lm(
         docs.select(F.explode(tokens_col(text_col)).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("tf"))
+        # the scalar normalizers below re-read this subtree; a lazy
+        # localCheckpoint materializes the token-count shuffle ONCE (the
+        # broadcast side runs first and primes it) instead of counting
+        # the corpus twice
+        .localCheckpoint(eager=False)
     )
     totals = counts.agg(
         F.sum("tf").alias("_total"), F.count(F.lit(1)).alias("_vocab")
@@ -98,9 +103,8 @@ def doc_lm_cost(
     toks = docs.select(
         F.col(id_col).alias("_id"), tokens_col(text_col).alias("_toks")
     )
-    # per-doc tf WITHOUT an explode shuffle: explode is row-local here
-    # (groupBy key includes _id, and AQE coalesces the tiny agg), and the
-    # distinct-token row count per doc is bounded by doc length
+    # explode is row-local; the one shuffle is the (doc, token) count,
+    # map-side combined, with row count bounded by distinct tokens/doc
     per_tok = (
         toks.select(
             "_id", F.size("_toks").alias("_n"), F.explode_outer("_toks").alias("token")

@@ -388,11 +388,11 @@ def strip_boilerplate_lines(
     Scale shape: line frequencies are a distinct + two-level count keyed
     on (group, line) — map-side combined, one shuffle; the boilerplate
     set is tiny by construction (lines that repeat across >= min_docs
-    docs) so its removal is a BROADCAST left_anti join — the corpus'
-    line table is never shuffled on the line key; the per-doc rebuild
-    groups on the doc id. At 100 TB the only wide exchange is the
-    (group, line) count and the doc-id regroup, both hash-partitioned
-    aggregates.
+    docs) so it applies as a BROADCAST join that marks chrome lines —
+    the corpus' line table is never shuffled on the line key — and the
+    counts plus the rebuilt text come out of ONE doc-id regroup. At
+    100 TB the only wide exchanges are the (group, line) count and that
+    regroup, both hash-partitioned aggregates.
     """
     gcol = F.col(group_col) if group_col else F.lit("")
     lines = docs.select(
@@ -410,28 +410,33 @@ def strip_boilerplate_lines(
         .filter(F.col("_ndocs") >= min_docs)
         .select("_grp", "_norm")
     )
-    kept = lines.join(F.broadcast(boiler), ["_grp", "_norm"], "left_anti")
-    rebuilt = (
-        kept.groupBy("_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_kept"),
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("_pos", "_line"))),
-                    lambda s: s["_line"],
+    # broadcast LEFT join marks chrome lines instead of anti-joining them
+    # away, so total and kept counts and the rebuilt text all come out of
+    # ONE pass / one doc-id regroup over the line table
+    marked = lines.join(
+        F.broadcast(boiler.withColumn("_chrome", F.lit(True))),
+        ["_grp", "_norm"],
+        "left",
+    ).withColumn("_keep", F.col("_chrome").isNull())
+    rebuilt = marked.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("_keep").cast("long")).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.filter(
+                    F.array_sort(
+                        F.collect_list(F.struct("_pos", "_line", "_keep"))
+                    ),
+                    lambda s: s["_keep"],
                 ),
-                "\n",
-            ).alias("text"),
-        )
+                lambda s: s["_line"],
+            ),
+            "\n",
+        ).alias("text"),
     )
-    totals = lines.groupBy("_id").agg(F.count(F.lit(1)).alias("n_lines"))
-    return (
-        totals.join(rebuilt, "_id", "left")
-        .select(
-            F.col("_id").alias(id_col),
-            F.col("n_lines").cast("bigint").alias("n_lines"),
-            F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint")
-            .alias("n_kept"),
-            F.coalesce(F.col("text"), F.lit("")).alias("text"),
-        )
+    return rebuilt.select(
+        F.col("_id").alias(id_col),
+        F.col("n_lines").cast("bigint").alias("n_lines"),
+        F.col("n_kept").cast("bigint").alias("n_kept"),
+        "text",
     )
