@@ -150,3 +150,51 @@ def test_image_features_spark(spark):
         for r in image_features(df).collect()
     }
     assert got == want
+
+
+def test_read_media_dir_binaryfile_source(spark, tmp_path):
+    import numpy as np
+
+    from splade_spark.operators.multimodal import (
+        decode_media,
+        encode_bmp,
+        media_metadata,
+    )
+    from splade_spark.sources.media import read_media_dir
+
+    d = tmp_path / "media"
+    (d / "sub").mkdir(parents=True)
+    px = {
+        "a.bmp": np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3),
+        "sub/b.bmp": np.full((1, 2, 3), 7, dtype=np.uint8),
+    }
+    for name, arr in px.items():
+        (d / name).write_bytes(encode_bmp(arr))
+    (d / "notes.txt").write_bytes(b"not media")
+
+    # glob pushdown keeps the txt file out at listing time
+    got = read_media_dir(
+        spark, str(d), glob="*.bmp", recursive=True
+    ).collect()
+    rows = {r["media_id"]: r for r in got}
+    assert set(rows) == {"a.bmp", "sub/b.bmp"}
+    for name, arr in px.items():
+        r = rows[name]
+        assert r["kind"] == "image/bmp"
+        assert r["n_bytes"] == len(encode_bmp(arr))
+        # the payload round-trips through the real decoder
+        assert (decode_media(bytes(r["payload"]), "image/bmp") == arr).all()
+
+    # downstream operators run unchanged on the source's frame
+    meta = media_metadata(
+        read_media_dir(spark, str(d), glob="*.bmp", recursive=True),
+        kind_col="kind",
+    ).collect()
+    assert {m["media_id"] for m in meta} == {"a.bmp", "sub/b.bmp"}
+
+    # max_bytes guards the heap off file-length metadata
+    small = read_media_dir(
+        spark, str(d), glob="*.bmp", recursive=True,
+        max_bytes=len(encode_bmp(px["sub/b.bmp"])),
+    ).collect()
+    assert [r["media_id"] for r in small] == ["sub/b.bmp"]
