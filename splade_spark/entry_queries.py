@@ -3351,3 +3351,95 @@ def boilerplate_stripped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "n_lines", "n_kept", F.md5("text").alias("clean_md5")
     )
+
+
+PQ_M = 8            # subspaces over the 64-dim embeddings
+PQ_K = 16           # codewords per subspace (seed codebook)
+PQ_NQ = 5           # queries: vec_id < 5
+PQ_TOPK = 10
+_PQ_DSUB = 8
+
+
+@register(
+    "pq_adc_topk",
+    f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+sub AS (
+  SELECT vec_id, s.sub,
+         list_transform(
+           list_slice(embedding, s.sub * {_PQ_DSUB} + 1,
+                      s.sub * {_PQ_DSUB} + {_PQ_DSUB}),
+           x -> CAST(x AS DOUBLE)) AS sv
+  FROM e, (SELECT unnest(range({PQ_M})) AS sub) s
+),
+seeds AS (SELECT vec_id FROM e ORDER BY vec_id LIMIT {PQ_K}),
+cb AS (
+  SELECT sub,
+         row_number() OVER (PARTITION BY sub ORDER BY vec_id) - 1 AS cid,
+         sv AS ce
+  FROM sub JOIN seeds USING (vec_id)
+),
+enc_d AS (
+  SELECT s.vec_id, s.sub, c.cid,
+         list_sum(list_transform(range(1, {_PQ_DSUB} + 1),
+           i -> (s.sv[i] - c.ce[i]) * (s.sv[i] - c.ce[i]))) AS d2
+  FROM sub s JOIN cb c ON s.sub = c.sub
+),
+codes AS (
+  SELECT vec_id, sub, cid FROM (
+    SELECT vec_id, sub, cid,
+           row_number() OVER (PARTITION BY vec_id, sub
+                              ORDER BY d2 ASC, cid ASC) AS rn
+    FROM enc_d
+  ) WHERE rn = 1
+),
+dtab AS (
+  SELECT q.vec_id AS qid, c.sub, c.cid,
+         list_sum(list_transform(range(1, {_PQ_DSUB} + 1),
+           i -> (q.sv[i] - c.ce[i]) * (q.sv[i] - c.ce[i]))) AS d
+  FROM sub q JOIN cb c ON q.sub = c.sub
+  WHERE q.vec_id < {PQ_NQ}
+),
+scored AS (
+  SELECT dt.qid, co.vec_id,
+         list_sum(list(dt.d ORDER BY dt.sub)) AS dist
+  FROM codes co JOIN dtab dt ON dt.sub = co.sub AND dt.cid = co.cid
+  WHERE dt.qid <> co.vec_id
+  GROUP BY dt.qid, co.vec_id
+),
+ranked AS (
+  SELECT qid AS query_id, vec_id, dist,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY dist ASC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, CAST(rank AS INT) AS rank, vec_id,
+       CAST(round(dist * 1000000) AS BIGINT) AS dist_micro
+FROM ranked WHERE rank <= {PQ_TOPK}
+""",
+)
+def pq_adc_topk_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (operators/pq.py): encode every embedding
+    to {PQ_M} codeword ids (a 32x payload cut vs raw floats) and answer
+    top-k by asymmetric distance — per-query (m x k) table broadcast, doc
+    distance = table-lookup sum folded in subspace order. Pinned at the
+    deterministic SEED codebook (iters=0: the {PQ_K} lowest-id vectors'
+    subvectors) so DuckDB reproduces codebook, codes, and every ADC sum
+    bit-for-bit; trained Lloyd codebooks are pytest-pinned
+    (tests/test_pq.py) with recall in BENCH.md §6d."""
+    from .operators.pq import pq_adc_topk, pq_encode, train_pq_codebooks
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = train_pq_codebooks(emb, m=PQ_M, k=PQ_K, iters=0, dim=64)
+    codes = pq_encode(emb, cb, m=PQ_M, dim=64)
+    queries = emb.filter(F.col("vec_id") < PQ_NQ).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    res = pq_adc_topk(
+        codes, queries, cb, k=PQ_TOPK, m=PQ_M, dim=64,
+        exclude_same_id=True,
+    )
+    return res.select(
+        "query_id", F.col("rank").cast("int").alias("rank"), "vec_id",
+        F.round(F.col("dist") * 1e6).cast("bigint").alias("dist_micro"),
+    )
