@@ -44,6 +44,10 @@ HEADLINE = [
     "splade_pooled_terms",     # pooling/activation-grid encoder (r4)
     "media_decoded_features",  # real BMP decode -> features (r4)
     "text_quality",            # quality-scoring features
+    "decontaminate_corpus",    # n-gram eval-overlap decontamination (r4)
+    "unigram_lm_cost",         # corpus-trained LM quality scoring (r4)
+    "pq_adc_topk",             # product-quantization ADC top-k (r4)
+    "boilerplate_stripped",    # cross-doc chrome-line removal (r4)
     "lineitem_pricing_agg",    # relational agg w/ pushed filter
     "top_orders_per_priority", # per-group top-k window
 ]

@@ -152,6 +152,8 @@ def pq_encode(
     aggregation (ties toward the lower cid)."""
     if dim is None:
         dim = infer_dim(vectors, vec_col)
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
     dsub = dim // m
     subs = _subvectors(vectors, id_col=id_col, vec_col=vec_col, m=m,
                        dsub=dsub)
@@ -201,6 +203,8 @@ def pq_adc_topk(
     """
     if dim is None:
         dim = infer_dim(queries, query_vec_col)
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
     dsub = dim // m
     qsubs = _subvectors(queries, id_col=query_id_col, vec_col=query_vec_col,
                         m=m, dsub=dsub)
