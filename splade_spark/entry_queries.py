@@ -3443,3 +3443,84 @@ def pq_adc_topk_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", F.col("rank").cast("int").alias("rank"), "vec_id",
         F.round(F.col("dist") * 1e6).cast("bigint").alias("dist_micro"),
     )
+
+
+_SPAM_SPAN = ("free prize click now to claim your exclusive reward "
+              "today friend")
+
+
+@register(
+    "dup_span_removal",
+    f"""
+WITH d0 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0
+              THEN '{_SPAM_SPAN} ' || text ELSE text END AS mtext
+  FROM documents WHERE doc_id < 400
+),
+d AS (SELECT doc_id, {tokens_sql('mtext')} AS t FROM d0),
+ws AS (
+  SELECT doc_id, t,
+         unnest(range(1, greatest(len(t) - 7, 0) + 1)) AS p
+  FROM d
+),
+w AS (
+  SELECT doc_id, p,
+         md5(array_to_string(list_slice(t, p, p + 7), ' ')) AS h
+  FROM ws
+),
+r AS (
+  SELECT doc_id, p,
+         row_number() OVER (PARTITION BY h ORDER BY doc_id, p) AS rn
+  FROM w
+),
+cov AS (
+  SELECT DISTINCT doc_id, unnest(range(p, p + 8)) AS tp
+  FROM r WHERE rn >= 2
+),
+tl AS (
+  SELECT doc_id, unnest(range(1, len(t) + 1)) AS tp, unnest(t) AS tok
+  FROM d
+),
+m AS (
+  SELECT tl.doc_id, tl.tp, tl.tok, cov.tp IS NOT NULL AS covd
+  FROM tl LEFT JOIN cov ON cov.doc_id = tl.doc_id AND cov.tp = tl.tp
+),
+agg AS (
+  SELECT doc_id,
+         count(*) FILTER (WHERE NOT covd) AS nk,
+         coalesce(string_agg(tok, ' ' ORDER BY tp)
+                    FILTER (WHERE NOT covd), '') AS ctext
+  FROM m GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(len(d.t) AS BIGINT) AS n_tokens,
+       CAST(len(d.t) - coalesce(agg.nk, 0) AS BIGINT) AS n_removed,
+       md5(coalesce(agg.ctext, '')) AS clean_md5
+FROM d LEFT JOIN agg USING (doc_id)
+""",
+)
+def dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup (`operators.dedup.duplicate_span_removal`,
+    the Lee et al. 2021 operator): every 8-token window occurring more
+    than once corpus-wide is removed from all but its canonical first
+    occurrence. The entry injects an 11-token spam span in front of
+    every 5th doc — the lowest such doc keeps it, every other one must
+    lose exactly those tokens (boundary windows mix in doc-specific text
+    and stay unique) — and the fixtures' exact-duplicate docs scrub to
+    empty. md5-pinned rebuilt text plus exact token/removal counts."""
+    from .operators.dedup import duplicate_span_removal
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 400).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit(_SPAM_SPAN + " "), F.col("text")),
+        ).otherwise(F.col("text")).alias("mtext"),
+    )
+    out = duplicate_span_removal(
+        docs, text_col="mtext", window=8, hash_fn="md5"
+    )
+    return out.select(
+        "doc_id", "n_tokens", "n_removed", F.md5("text").alias("clean_md5")
+    )

@@ -402,3 +402,115 @@ def embedding_near_dup_pairs(
         ).alias("cos"),
     )
     return pairs.filter(F.col("cos") >= threshold)
+
+
+def duplicate_span_removal(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 50,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Exact-substring dedup (the Lee et al. 2021 "deduplicating training
+    data" operator): any ``window``-token span occurring MORE THAN ONCE
+    corpus-wide is removed from every occurrence except the canonical
+    first one (lowest (doc id, position)); surviving tokens rebuild the
+    document. Returns (id_col, n_tokens, n_removed, text).
+
+    Mechanics: rolling token windows (stride 1) are hashed; occurrences
+    of the same hash are ranked by (doc id, position) with a window
+    function — rank 1 is canonical and kept, every later occurrence
+    marks its ``window`` token positions for removal; covered positions
+    union (handling overlaps of long repeated spans, which produce
+    many overlapping duplicated windows) and the kept tokens re-join.
+
+    Spans repeated WITHIN one doc dedup too (second occurrence removed);
+    docs shorter than ``window`` pass through untouched; a doc that is an
+    exact duplicate of an earlier doc is scrubbed to nothing (its every
+    window loses to the canonical doc).
+
+    Scale shape: the window-hash table is ~one row per token — the same
+    magnitude as an inverted-index build's posting stream — shuffled
+    once by hash for the occurrence ranking (md5/xxhash keys are
+    uniform, no skew), once by (doc, position) for coverage distinct +
+    the kept-token anti join, and once by doc for the rebuild. All
+    hash-partitioned sort/agg exchanges with map-side combine; nothing
+    quadratic anywhere (contrast suffix arrays, which need a global
+    sort of every suffix).
+
+    ``hash_fn``: "xxhash64" (production: 8-byte keys, fully codegen) or
+    "md5" (bit-portable to the DuckDB oracle).
+    """
+    from splade_spark.functions.tokenize import tokens_col
+    from pyspark.sql.window import Window as W
+
+    if hash_fn not in ("xxhash64", "md5"):
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
+    L = int(window)
+    if L < 2:
+        raise ValueError("window must be >= 2")
+    t = docs.select(
+        F.col(id_col).alias("_id"), tokens_col(text_col).alias("_toks")
+    )
+    joined = lambda p: F.array_join(  # noqa: E731
+        F.slice("_toks", p, L), " "
+    )
+    hashed = (
+        (lambda p: F.xxhash64(joined(p))) if hash_fn == "xxhash64"
+        else (lambda p: F.md5(joined(p)))
+    )
+    starts = F.when(
+        F.size("_toks") >= L,
+        F.sequence(F.lit(1), F.size("_toks") - L + 1),
+    ).otherwise(F.array().cast("array<int>"))
+    wtab = t.select("_id", "_toks", F.explode(starts).alias("_p")) \
+        .select("_id", "_p", hashed(F.col("_p")).alias("_h"))
+    occ = W.partitionBy("_h").orderBy(F.asc("_id"), F.asc("_p"))
+    dup = (
+        wtab.withColumn("_rn", F.row_number().over(occ))
+        .filter(F.col("_rn") >= 2)
+        .select("_id", "_p")
+    )
+    covered = dup.select(
+        "_id", F.explode(F.sequence(F.col("_p"), F.col("_p") + L - 1))
+        .alias("_tp")
+    ).distinct()
+    # mark covered positions with a LEFT join (not an anti join) so a
+    # fully-scrubbed doc still aggregates to an empty-text row
+    toks = t.select(
+        "_id", F.size("_toks").alias("_n"),
+        F.posexplode_outer("_toks").alias("_tp0", "_tok"),
+    ).withColumn("_tp", F.col("_tp0") + 1)
+    marked = toks.join(
+        covered.withColumn("_cov", F.lit(True)), ["_id", "_tp"], "left"
+    ).withColumn(
+        "_keep", F.col("_tok").isNotNull() & F.col("_cov").isNull()
+    )
+    return (
+        marked.groupBy("_id")
+        .agg(
+            F.max("_n").alias("_n"),
+            F.sum(F.col("_keep").cast("long")).alias("_nk"),
+            F.array_join(
+                F.transform(
+                    F.filter(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct("_tp", "_tok", "_keep")
+                            )
+                        ),
+                        lambda s: s["_keep"],
+                    ),
+                    lambda s: s["_tok"],
+                ),
+                " ",
+            ).alias("text"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_n").cast("bigint").alias("n_tokens"),
+            (F.col("_n") - F.col("_nk")).cast("bigint").alias("n_removed"),
+            "text",
+        )
+    )

@@ -209,3 +209,38 @@ def test_deduplicate_corpus_end_to_end(docs_df):
     assert got[2] == (1, False)
     assert got[4][1] and got[5][1] and got[6][1]
     assert sum(1 for c, k in got.values() if k and c == 1) == 1
+
+
+def test_duplicate_span_removal(spark):
+    from splade_spark.operators.dedup import duplicate_span_removal
+
+    spam = "win a free prize now"          # 5 tokens, window L=4
+    rows = [
+        ("a", f"{spam} alpha beta gamma delta"),     # canonical spam holder
+        ("b", f"{spam} epsilon zeta eta theta"),     # spam must vanish
+        ("c", f"one two three {spam}"),              # spam at the tail
+        ("d", "totally unique words here only"),     # untouched
+        ("e", "tiny doc"),                            # shorter than window
+        ("f", f"{spam} alpha beta gamma delta"),     # exact dup of a -> empty
+        ("g", "rep rep rep rep rep rep rep rep"),    # within-doc repeat
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["text"])
+        for r in duplicate_span_removal(
+            docs, window=4, hash_fn="md5"
+        ).collect()
+    }
+    assert set(out) == {x[0] for x in rows}
+    # canonical occurrence (lowest doc id "a") keeps everything
+    assert out["a"] == (9, 0, f"{spam} alpha beta gamma delta")
+    # b and c lose exactly the 5 spam tokens
+    assert out["b"] == (9, 5, "epsilon zeta eta theta")
+    assert out["c"] == (8, 5, "one two three")
+    assert out["d"] == (5, 0, "totally unique words here only")
+    assert out["e"] == (2, 0, "tiny doc")
+    # exact duplicate doc is scrubbed to nothing
+    assert out["f"] == (9, 9, "")
+    # within-doc repetition: windows 2..5 duplicate window 1 -> tokens
+    # 2..8 covered, only the first "rep" survives
+    assert out["g"] == (8, 7, "rep")
