@@ -248,3 +248,197 @@ def pq_adc_topk(
             "dist",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: coarse inverted lists + residual product quantization — the
+# standard billion-scale ANN index layout (route to nprobe lists, ADC on
+# residual codes). Composes train_pq_codebooks(m=1) as the L2 coarse
+# quantizer, so the whole stack shares one determinism contract.
+# ---------------------------------------------------------------------------
+
+
+def _as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def _assign_coarse(
+    vectors: DataFrame, coarse: DataFrame, *, id_col: str, vec_col: str
+) -> DataFrame:
+    """(id, list_cid, res: array<double>) — nearest coarse centroid by
+    squared L2 (ties toward the lower cid) and the residual vector.
+    Centroids broadcast; assignment map-side."""
+    cents = coarse.select(
+        F.col("cid").alias("list_cid"), F.col("ce").alias("_ce")
+    )
+    cand = vectors.select(
+        F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_v")
+    ).crossJoin(F.broadcast(cents))
+    best = (
+        cand.groupBy("_id")
+        .agg(
+            F.min(
+                F.struct(
+                    _l2sq(F.col("_v"), F.col("_ce")).alias("d"),
+                    F.col("list_cid"),
+                    F.col("_v").alias("v"),
+                    F.col("_ce").alias("ce"),
+                )
+            ).alias("b")
+        )
+    )
+    return best.select(
+        "_id",
+        F.col("b.list_cid").alias("list_cid"),
+        F.zip_with("b.v", "b.ce", lambda a, c: a - c).alias("res"),
+    )
+
+
+def train_ivfpq(
+    vectors: DataFrame,
+    *,
+    n_lists: int,
+    m: int,
+    k: int,
+    coarse_iters: int = 3,
+    pq_iters: int = 3,
+    sample_mod: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """(coarse, codebooks): full-vector L2 k-means (``train_pq_codebooks``
+    at m=1 — same seeds/tie rules) for the inverted lists, then PQ
+    codebooks trained on the RESIDUALS v − centroid (residual energy is
+    what PQ must encode once routing is known — the standard IVF-PQ
+    layout)."""
+    if dim is None:
+        dim = infer_dim(vectors, vec_col)
+    coarse = train_pq_codebooks(
+        vectors, m=1, k=n_lists, iters=coarse_iters,
+        sample_mod=sample_mod, id_col=id_col, vec_col=vec_col, dim=dim,
+    ).select("cid", "ce")
+    train = vectors
+    if sample_mod is not None:
+        train = train.filter(F.col(id_col) % sample_mod == 0)
+    res = _assign_coarse(train, coarse, id_col=id_col, vec_col=vec_col) \
+        .select(F.col("_id").alias(id_col), F.col("res"))
+    cb = train_pq_codebooks(
+        res, m=m, k=k, iters=pq_iters, id_col=id_col, vec_col="res",
+        dim=dim,
+    )
+    return coarse, cb
+
+
+def ivfpq_encode(
+    vectors: DataFrame,
+    coarse: DataFrame,
+    codebooks: DataFrame,
+    *,
+    m: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """(id_col, list_cid, codes): coarse list assignment + PQ codes of
+    the residual. This is the persisted index payload: one int + m small
+    ints per vector."""
+    if dim is None:
+        dim = infer_dim(vectors, vec_col)
+    assigned = _assign_coarse(vectors, coarse, id_col=id_col,
+                              vec_col=vec_col)
+    codes = pq_encode(
+        assigned.select(F.col("_id").alias(id_col), "res"),
+        codebooks, id_col=id_col, vec_col="res", m=m, dim=dim,
+    )
+    return assigned.select(
+        F.col("_id").alias(id_col), "list_cid"
+    ).join(codes, id_col)
+
+
+def ivfpq_topk(
+    encoded: DataFrame,
+    queries: DataFrame,
+    coarse: DataFrame,
+    codebooks: DataFrame,
+    *,
+    k: int = 10,
+    nprobe: int = 4,
+    m: int,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int | None = None,
+    exclude_same_id: bool = False,
+) -> DataFrame:
+    """Top-k over the IVF-PQ index: each query probes its ``nprobe``
+    nearest coarse lists, builds a PER-LIST ADC table over the query's
+    residual against that list's centroid, and scores only the codes in
+    probed lists. Candidate cost is (nprobe / n_lists) of the corpus —
+    the routing prune — and every join is broadcast-driven on the query
+    side; the code table never shuffles until the final (query, doc)
+    fold. Approximate distance = residual ADC (list-centroid offset
+    shared by all docs in a list is not re-added — standard IVF-PQ ADC).
+    Ascending distance, ties toward the lower doc id."""
+    if dim is None:
+        dim = infer_dim(queries, query_vec_col)
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    cents = coarse.select(
+        F.col("cid").alias("list_cid"), F.col("ce").alias("_ce")
+    )
+    qc = queries.select(
+        F.col(query_id_col).alias("_qid"),
+        _as_double(F.col(query_vec_col)).alias("_qv"),
+    ).crossJoin(F.broadcast(cents))
+    wp = Window.partitionBy("_qid").orderBy(
+        F.asc(_l2sq(F.col("_qv"), F.col("_ce"))), F.asc("list_cid")
+    )
+    probed = (
+        qc.withColumn("_rn", F.row_number().over(wp))
+        .filter(F.col("_rn") <= nprobe)
+        .select(
+            "_qid", "list_cid",
+            F.zip_with("_qv", "_ce", lambda a, c: a - c).alias("_qres"),
+        )
+    )
+    qsub = probed.select(
+        "_qid", "list_cid",
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
+        "_qres",
+    ).select(
+        "_qid", "list_cid", "sub",
+        F.slice("_qres", F.col("sub") * dsub + 1, dsub).alias("qsv"),
+    )
+    dtab = qsub.join(F.broadcast(codebooks), "sub").select(
+        "_qid", "list_cid", "sub", "cid",
+        _l2sq(F.col("qsv"), F.col("ce")).alias("d"),
+    )
+    exploded = encoded.select(
+        F.col(id_col).alias("_doc"), "list_cid",
+        F.posexplode("codes").alias("sub", "cid"),
+    )
+    scored = (
+        exploded.join(F.broadcast(dtab), ["list_cid", "sub", "cid"])
+        .groupBy("_qid", "_doc")
+        .agg(F.array_sort(F.collect_list(F.struct("sub", "d"))).alias("sd"))
+        .select(
+            "_qid", "_doc",
+            F.aggregate(
+                F.transform("sd", lambda s: s["d"]),
+                F.lit(0.0), lambda acc, d: acc + d,
+            ).alias("dist"),
+        )
+    )
+    if exclude_same_id:
+        scored = scored.filter(F.col("_qid") != F.col("_doc"))
+    wq = Window.partitionBy("_qid").orderBy(F.asc("dist"), F.asc("_doc"))
+    return (
+        scored.withColumn("rank", F.row_number().over(wq))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("_qid").alias(query_id_col), "rank",
+            F.col("_doc").alias(id_col), "dist",
+        )
+    )

@@ -128,3 +128,88 @@ def test_training_reduces_quantization_error_and_is_deterministic(spark):
     b = sorted(map(tuple, ((r["sub"], r["cid"], tuple(r["ce"]))
                            for r in cb2b.collect())))
     assert a == b
+
+
+def test_ivfpq_single_list_equals_flat_residual_pq(spark):
+    from splade_spark.operators.pq import (
+        ivfpq_encode,
+        ivfpq_topk,
+        train_ivfpq,
+    )
+
+    rows = _vectors(20)
+    df = _df(spark, rows)
+    # one coarse list, iters=0 everywhere: residual = v - seed0, and
+    # IVF-PQ with nprobe=1 must equal flat PQ over those residuals
+    coarse, cb = train_ivfpq(
+        df, n_lists=1, m=M, k=K, coarse_iters=0, pq_iters=0
+    )
+    enc = ivfpq_encode(df, coarse, cb, m=M)
+    queries = df.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = ivfpq_topk(
+        enc, queries, coarse, cb, k=5, nprobe=1, m=M,
+        exclude_same_id=True,
+    ).collect()
+
+    seed0 = [r["ce"] for r in coarse.collect()][0]
+    res_rows = [
+        (vid, [v[i] - seed0[i] for i in range(DIM)]) for vid, v in rows
+    ]
+    res_df = spark.createDataFrame(
+        res_rows, "vec_id bigint, embedding array<double>"
+    )
+    codes = pq_encode(res_df, cb, m=M)
+    res_q = res_df.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    want = pq_adc_topk(
+        codes, res_q, cb, k=5, m=M, exclude_same_id=True
+    ).collect()
+    key = lambda r: (r["query_id"], r["rank"], r["vec_id"])  # noqa: E731
+    assert sorted(map(key, got)) == sorted(map(key, want))
+    gd = {key(r): r["dist"] for r in got}
+    wd = {key(r): r["dist"] for r in want}
+    for kk in gd:
+        assert gd[kk] == pytest.approx(wd[kk], abs=1e-12)
+
+
+def test_ivfpq_prunes_to_probed_lists_and_is_deterministic(spark):
+    from splade_spark.operators.pq import (
+        ivfpq_encode,
+        ivfpq_topk,
+        train_ivfpq,
+    )
+
+    rows = _vectors(30)
+    df = _df(spark, rows)
+    coarse, cb = train_ivfpq(
+        df, n_lists=4, m=M, k=K, coarse_iters=2, pq_iters=1
+    )
+    enc = ivfpq_encode(df, coarse, cb, m=M).localCheckpoint(eager=True)
+    queries = df.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out1 = ivfpq_topk(enc, queries, coarse, cb, k=8, nprobe=2, m=M)
+    out2 = ivfpq_topk(enc, queries, coarse, cb, k=8, nprobe=2, m=M)
+    r1 = sorted(map(tuple, out1.collect()))
+    assert r1 == sorted(map(tuple, out2.collect()))
+    # every hit must live in one of its query's 2 probed lists
+    lists = {r["vec_id"]: r["list_cid"] for r in enc.collect()}
+    probes = {}
+    for r in (
+        ivfpq_topk(enc, queries, coarse, cb, k=1000, nprobe=2, m=M)
+        .collect()
+    ):
+        probes.setdefault(r["query_id"], set()).add(lists[r["vec_id"]])
+    for qid, ls in probes.items():
+        assert len(ls) <= 2, (qid, ls)
+    # probing every list scores every doc: full candidate coverage
+    full = ivfpq_topk(enc, queries, coarse, cb, k=1000, nprobe=4, m=M)
+    counts = {
+        r["query_id"]: r["n"]
+        for r in full.groupBy("query_id").agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert all(v == len(rows) for v in counts.values())
