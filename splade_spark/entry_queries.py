@@ -21,7 +21,12 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from .config import DEFAULT, EngineConfig
-from .functions.tokenize import tokens_col, tokens_sparksql, tokens_sql
+from .functions.tokenize import (
+    tokenize_py,
+    tokens_col,
+    tokens_sparksql,
+    tokens_sql,
+)
 
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
 
@@ -3523,4 +3528,135 @@ def dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         "doc_id", "n_tokens", "n_removed", F.md5("text").alias("clean_md5")
+    )
+
+
+# phrase set exercising the positional plane's edges: high-df bigram,
+# trigram, repeated-term phrase, single-token degenerate, OOV term
+# (matches nothing), and tokenizer normalization (case + punctuation)
+PHRASE_QUERIES: list[tuple[str, str]] = [
+    ("p01", "table hash"),
+    ("p02", "slow hash batch"),
+    ("p03", "data data"),
+    ("p04", "merge"),
+    ("p05", "table nosuchtokenxyz"),
+    ("p06", "Row, Column; SORT!"),
+]
+
+_PHRASE_VALUES_SQL = ", ".join(
+    "('%s', [%s])"
+    % (q, ", ".join("'%s'" % t for t in tokenize_py(p)))
+    for q, p in PHRASE_QUERIES
+)
+
+_PHRASE_SQL_DUCK = f"""
+WITH tok AS (
+  SELECT doc_id, {tokens_sql('text')} AS tok FROM documents
+),
+phr(query_id, ptoks) AS (VALUES {_PHRASE_VALUES_SQL}),
+m AS (
+  SELECT p.query_id, t.doc_id,
+         len(list_filter(
+           generate_series(1, len(t.tok) - len(p.ptoks) + 1),
+           i -> t.tok[i : i + len(p.ptoks) - 1] = p.ptoks)) AS n_occ
+  FROM phr p CROSS JOIN tok t
+)
+SELECT query_id, doc_id, CAST(n_occ AS BIGINT) AS n_occurrences
+FROM m WHERE n_occ > 0
+"""
+
+
+@register("phrase_match", _PHRASE_SQL_DUCK)
+def phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase retrieval over the positional index
+    (operators/positional.py): position lists are one groupBy((term,
+    doc)) with map-side combine; a phrase broadcasts its (slot -> term)
+    dimension against them and matches algebraically (slot i's positions
+    shifted by -i; a start where ALL slots land is an occurrence) — two
+    hash aggregates, row volume = occurrences of the phrase's own terms.
+    Oracle: DuckDB list-slice equality over every start offset.
+    Exercises F1 tokenization identity, J1-style term-pruned join, and
+    the engine's positional plane end-to-end (incl. overlapping
+    occurrences and the repeated-term phrase p03)."""
+    from .operators.positional import phrase_search
+
+    out = phrase_search(
+        _docs(spark, sf_dir).select("doc_id", "text"), PHRASE_QUERIES
+    )
+    return out.select(
+        "query_id",
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "n_occurrences",
+    )
+
+
+_BM25_CONJ_SQL_DUCK = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({tokens_sql('text')}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (
+  SELECT avg(dl) AS avgdl, (SELECT count(*) FROM documents) AS n_docs FROM dl
+),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+qtok AS (
+  SELECT query_id, unnest({tokens_sql('qtext')}) AS term
+  FROM (VALUES {_QVALUES_SQL}) AS q(query_id, qtext)
+),
+qterms AS (
+  SELECT query_id, term, count(*) AS qtf FROM qtok GROUP BY query_id, term
+),
+qreq AS (
+  SELECT query_id, count(DISTINCT term) AS nreq FROM qtok GROUP BY query_id
+),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(q.qtf * ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * ({K1} + 1.0)
+             / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl))) AS score,
+         count(*) AS nmatch
+  FROM qterms q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id
+),
+ranked AS (
+  SELECT s.query_id, s.doc_id, s.score,
+         row_number() OVER (
+           PARTITION BY s.query_id
+           ORDER BY s.score DESC, CAST(s.doc_id AS VARCHAR) ASC
+         ) AS rank
+  FROM scored s
+  JOIN qreq r ON r.query_id = s.query_id AND s.nmatch = r.nreq
+)
+SELECT query_id, CAST(rank AS INT) AS rank, doc_id
+FROM ranked WHERE rank <= {TOPK}
+"""
+
+
+@register("bm25_topk_conjunctive", _BM25_CONJ_SQL_DUCK)
+def bm25_topk_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AND-semantics retrieval (query.retrieve_conjunctive): only docs
+    containing EVERY distinct query token rank; BM25 scores and tie rule
+    unchanged. The distinct-term count rides the score aggregation's own
+    map-side-combined shuffle (count(*) over per-(term,doc) partials);
+    the per-query requirement broadcasts. q10's OOV term makes that
+    query return zero rows — OOV counts toward the requirement, the web
+    engine's implicit-AND contract. Scores are float32 in the engine, so
+    the compare is rank-only (as bm25_topk_engine)."""
+    from .operators.indexing import build_index
+    from .operators.query import retrieve_conjunctive
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    idx = build_index(docs, id_col="doc_id", text_col="text")
+    queries = spark.createDataFrame(
+        BM25_QUERIES, "query_id string, text string"
+    )
+    res = retrieve_conjunctive(idx, queries, k=TOPK)
+    return res.select(
+        "query_id", F.col("rank").cast("int").alias("rank"),
+        F.col("doc_id").cast("bigint").alias("doc_id"),
     )

@@ -228,7 +228,8 @@ def score_exhaustive(
 
 
 def _exhaustive_scores(
-    index: InvertedIndex, q_terms: DataFrame, rows: list | None = None
+    index: InvertedIndex, q_terms: DataFrame, rows: list | None = None,
+    with_counts: bool = False,
 ) -> DataFrame:
     cand = _candidate_blocks(index, q_terms, rows).select(
         "query_id", "qtf", "doc_gaps", "weights"
@@ -261,9 +262,80 @@ def _exhaustive_scores(
     partials = cand.mapInPandas(
         decode_partial, schema="query_id string, doc_idx bigint, partial float"
     )
-    return partials.groupBy("query_id", "doc_idx").agg(
-        F.sum("partial").cast("float").alias("score")
+    aggs = [F.sum("partial").cast("float").alias("score")]
+    if with_counts:
+        # one partial row per (query term, doc): blocks hold disjoint doc
+        # ranges within a term, so count(*) IS the number of distinct
+        # query terms present in the doc — it rides the same map-side-
+        # combined shuffle as the score sum, no extra pass
+        aggs.append(F.count(F.lit(1)).alias("_nterms"))
+    return partials.groupBy("query_id", "doc_idx").agg(*aggs)
+
+
+def retrieve_conjunctive(
+    index: InvertedIndex,
+    queries: DataFrame,
+    k: int = 10,
+    cfg: EngineConfig = DEFAULT,
+) -> DataFrame:
+    """AND-semantics top-k: only documents containing EVERY distinct
+    (non-excluded) token of the query text are ranked; scores are the
+    full BM25 sum over those terms, tie rule unchanged. A query with a
+    term absent from the corpus vocabulary matches nothing — OOV tokens
+    count toward the requirement, exactly like a web engine's implicit
+    AND.
+
+    Plan shape: the distinct-term count per (query, doc) rides the SAME
+    single map-side-combined shuffle as the score aggregation (count(*)
+    over the decoded partials — one posting row per (term, doc) because
+    blocks hold disjoint doc ranges within a term); the requirement
+    dimension (one int per query) broadcasts. No second pass, no extra
+    shuffle vs the OR plan; at 10^12 docs the conjunctive filter only
+    SHRINKS the ranked set (the candidate scan is identical, which is
+    why engines layer WAND on top for OR and intersection for AND — the
+    exhaustive agg here is the strategy-agnostic exact form).
+
+    Exactness preconditions (checked): the index must retain every
+    posting — ``min_weight > 0`` or a binding per-doc term cap could hide
+    a term the doc actually contains and falsify the AND test.
+    """
+    meta = index.meta
+    if float(meta.get("min_weight", 0.0)) > 0.0:
+        raise ValueError(
+            "retrieve_conjunctive: index built with min_weight "
+            f"{meta['min_weight']} > 0 — dropped postings would make the "
+            "all-terms test undecidable"
+        )
+    max_tokens = int(meta.get("max_tokens", cfg.max_tokens))
+    if int(meta.get("top_k_terms", 1 << 30)) < max_tokens:
+        raise ValueError(
+            "retrieve_conjunctive: per-doc term cap binds "
+            f"(top_k_terms={meta['top_k_terms']} < max_tokens="
+            f"{max_tokens}) — capped-away postings would make the "
+            "all-terms test undecidable"
+        )
+    q_terms = sparsify_query_terms(
+        encode_queries(queries, index.term_dict, cfg, meta), meta
     )
+    exclude = tuple(meta.get("exclude_terms", ()) or ())
+    toks = queries.select(
+        F.col("query_id").cast("string").alias("query_id"),
+        F.explode(
+            F.array_distinct(tokens_col("text", max_tokens))
+        ).alias("term"),
+    )
+    if exclude:
+        toks = toks.filter(~F.col("term").isin(*exclude))
+    required = toks.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("_nreq")
+    )
+    scores = _exhaustive_scores(index, q_terms, with_counts=True)
+    out = (
+        scores.join(F.broadcast(required), "query_id")
+        .filter(F.col("_nterms") == F.col("_nreq"))
+        .select("query_id", "doc_idx", "score")
+    )
+    return _topk(out, index, k)
 
 
 def _wand_topk(
@@ -572,6 +644,12 @@ class LocalIndexServer:
             self.by_term.setdefault(tid, []).append(
                 (mw_, lo, hi, bytes(g), bytes(wbytes))
             )
+        # per-term impact ceiling (max block max_weight) — the broker's
+        # shard-routing bound (sharding.ShardedServer.search_ids)
+        self.term_max: dict[int, float] = {
+            tid: max(b[0] for b in blocks)
+            for tid, blocks in self.by_term.items()
+        }
         idxs = doc_dim_pdf["doc_idx"].astype(int).tolist()
         self.doc_base = min(idxs) if idxs else 0
         self.doc_ids: list[str | None] = [None] * (

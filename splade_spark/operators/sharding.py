@@ -297,15 +297,79 @@ class ShardedServer:
         return self.search_ids(pairs, k)
 
     def search_ids(
-        self, qtf_by_tid: dict[int, float], k: int = 10
+        self, qtf_by_tid: dict[int, float], k: int = 10, route: bool = True
     ) -> list[tuple[str, float]]:
+        """Fan-out with RANK-SAFE shard routing (``route=True``).
+
+        Every shard knows its per-term impact ceiling (max block
+        max_weight — LocalIndexServer.term_max), so the broker bounds any
+        shard's best possible score by ub_s = Σ_t qw_t · max_w(t, s)
+        before touching it:
+
+        - a shard where NO query term has postings (ub_s = 0) cannot
+          contribute a candidate — skipped outright;
+        - remaining shards are visited in DESCENDING ub order; once k
+          results are merged with kth score θ, a shard with
+          float32(ub_s) < θ is skipped — every doc score there is
+          f32(Σf64 products) ≤ f32(ub_s) < θ (rounding is monotone), so
+          it cannot displace the kth result or win the tie-break
+          (``<`` is strict: a θ-tying shard stays visitable because its
+          doc could take the doc_idx tie-break).
+
+        Results are therefore IDENTICAL to the unrouted fan-out; only
+        the number of shards touched changes (``last_shards_visited``).
+        On a serving fleet this is the difference between every query
+        hitting all S nodes and selective queries hitting the few whose
+        doc ranges actually hold their terms — broker-side block-max
+        pruning, one level above each node's own WAND.
+        """
+        candidates = list(enumerate(self.servers))
+        self.last_shards_visited = 0
+        if route:
+            s0 = self.servers[0]
+            items = [
+                (tid, w) for tid, w in qtf_by_tid.items()
+                if w > s0.min_weight
+            ]
+            if len(items) > s0.top_k_terms:
+                items.sort(key=lambda p: (-p[1], p[0]))
+                items = items[: s0.top_k_terms]
+            ubs = []
+            for si, srv in enumerate(self.servers):
+                ub = 0.0
+                for tid, qw in items:
+                    mw = srv.term_max.get(tid)
+                    if mw is not None:
+                        ub += float(qw) * float(mw)
+                if ub > 0.0:
+                    ubs.append((ub, si))
+            ubs.sort(key=lambda p: (-p[0], p[1]))
+            candidates = [(si, self.servers[si]) for _, si in ubs]
+            bounds = [np.float32(ub) for ub, _ in ubs]
         docs_parts, score_parts, id_parts = [], [], []
-        for srv in self.servers:
+        merged_docs = np.empty(0, dtype=np.int64)
+        merged_scores = np.empty(0, dtype=np.float32)
+        theta = None
+        for pos, (si, srv) in enumerate(candidates):
+            if route and theta is not None and bounds[pos] < theta:
+                break
             d, s = srv.topk_arrays(qtf_by_tid, k)
-            if d.size:
-                docs_parts.append(d)
-                score_parts.append(s)
-                id_parts.extend(srv.doc_ids[int(i) - srv.doc_base] for i in d)
+            self.last_shards_visited += 1
+            if not d.size:
+                continue
+            docs_parts.append(d)
+            score_parts.append(s)
+            id_parts.extend(srv.doc_ids[int(i) - srv.doc_base] for i in d)
+            if route:
+                merged_docs = np.concatenate((merged_docs, d))
+                merged_scores = np.concatenate((merged_scores, s))
+                if merged_docs.size >= k:
+                    sel = np.lexsort(
+                        (merged_docs, -merged_scores.astype(np.float64))
+                    )[:k]
+                    merged_docs = merged_docs[sel]
+                    merged_scores = merged_scores[sel]
+                    theta = merged_scores[-1]
         if not docs_parts:
             return []
         docs = np.concatenate(docs_parts)

@@ -1,0 +1,75 @@
+"""Broker shard routing: rank-identical to the full fan-out, fewer shards."""
+
+import pytest
+
+from splade_spark.operators.indexing import build_index
+from splade_spark.operators.query import LocalIndexServer
+from splade_spark.operators.sharding import ShardedServer
+
+# 64 docs; doc_idx order == doc_id string order, so a 4-way doc-range
+# shard holds 16 consecutive docs. Each quarter gets a private marker
+# term; common terms span all shards.
+MARKERS = ["alpha", "bravo", "charlie", "delta"]
+DOCS = [
+    (
+        f"d{i:03d}",
+        f"{MARKERS[i // 16]} common shared text row value "
+        f"extra{i % 7} filler{i % 3}",
+    )
+    for i in range(64)
+]
+
+QUERIES = [
+    "alpha",                 # one shard holds every posting
+    "bravo extra1",          # rare + scattered
+    "common shared",         # every shard
+    "delta alpha",           # two shards
+    "nosuchtermzz",          # nothing anywhere
+    "charlie filler2 row",
+]
+
+
+@pytest.fixture(scope="module")
+def served(spark):
+    docs = spark.createDataFrame(DOCS, "doc_id string, text string")
+    idx = build_index(docs)
+    broker = ShardedServer(idx, n_shards=4)
+    single = LocalIndexServer(idx)
+    yield broker, single
+    idx.unpersist()
+
+
+def test_routing_rank_identical(served):
+    broker, single = served
+    for q in QUERIES:
+        routed = broker.search(q, k=10)
+        full = single.search(q, k=10)
+        assert routed == full, q
+        # route=False fan-out agrees too
+        qtf = {}
+        for t in q.split():
+            tid = single.term_info.get(t)
+            if tid is not None:
+                qtf[tid] = qtf.get(tid, 0.0) + 1.0
+        assert broker.search_ids(qtf, 10, route=False) == routed, q
+
+
+def test_routing_skips_dead_shards(served):
+    broker, single = served
+    # marker term lives in exactly one shard's doc range
+    broker.search("alpha", k=10)
+    assert broker.last_shards_visited == 1
+    # two markers -> at most two shards touched
+    broker.search("delta alpha", k=10)
+    assert broker.last_shards_visited <= 2
+    # OOV query touches nothing
+    assert broker.search("nosuchtermzz", k=10) == []
+    assert broker.last_shards_visited == 0
+
+
+def test_routing_visits_all_when_needed(served):
+    broker, _ = served
+    # k large enough that every shard must contribute candidates
+    res = broker.search("common", k=64)
+    assert broker.last_shards_visited == 4
+    assert len(res) == 64
