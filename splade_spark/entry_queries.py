@@ -3660,3 +3660,239 @@ def bm25_topk_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", F.col("rank").cast("int").alias("rank"),
         F.col("doc_id").cast("bigint").alias("doc_id"),
     )
+
+
+# web-style query strings: quoted segments are exact-phrase constraints,
+# bare tokens implicit-AND; all tokens (incl. phrase tokens) score BM25.
+WEB_QUERIES: list[tuple[str, str]] = [
+    ("w01", '"table hash" merge'),
+    ("w02", '"merge sort"'),
+    ("w03", "data merge sort"),
+    ("w04", '"table hash" "data data"'),
+    ("w05", '"table hash" nosuchtokenxyz'),
+    ("w06", '"sort data" row'),
+]
+
+
+def _web_sql() -> str:
+    from .operators.positional import parse_web_query
+
+    wvalues = ", ".join(
+        "('%s', '%s')" % (q, t.replace("'", "''")) for q, t in WEB_QUERIES
+    )
+    phr_rows = []
+    nphr_rows = []
+    for qid, raw in WEB_QUERIES:
+        phrases = parse_web_query(raw)
+        nphr_rows.append(f"('{qid}', {len(phrases)})")
+        for i, ph in enumerate(phrases):
+            toks = ", ".join(f"'{t}'" for t in tokenize_py(ph))
+            phr_rows.append(f"('{qid}', {i}, [{toks}])")
+    return f"""
+WITH tok AS (
+  SELECT doc_id, {tokens_sql('text')} AS tok FROM documents
+),
+tokx AS (SELECT doc_id, unnest(tok) AS term FROM tok),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tokx GROUP BY doc_id, term),
+dl AS (SELECT doc_id, len(tok) AS dl FROM tok),
+stats AS (
+  SELECT avg(dl) AS avgdl, (SELECT count(*) FROM documents) AS n_docs FROM dl
+),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+qtok AS (
+  SELECT query_id, unnest({tokens_sql('qtext')}) AS term
+  FROM (VALUES {wvalues}) AS q(query_id, qtext)
+),
+qterms AS (
+  SELECT query_id, term, count(*) AS qtf FROM qtok GROUP BY query_id, term
+),
+qreq AS (
+  SELECT query_id, count(DISTINCT term) AS nreq FROM qtok GROUP BY query_id
+),
+phr(query_id, pid, ptoks) AS (VALUES {', '.join(phr_rows)}),
+nphr(query_id, nph) AS (VALUES {', '.join(nphr_rows)}),
+psat AS (
+  SELECT p.query_id, t.doc_id, count(DISTINCT p.pid) AS nsat
+  FROM phr p JOIN tok t
+    ON len(list_filter(generate_series(1, len(t.tok) - len(p.ptoks) + 1),
+          i -> t.tok[i : i + len(p.ptoks) - 1] = p.ptoks)) > 0
+  GROUP BY p.query_id, t.doc_id
+),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(q.qtf * ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * ({K1} + 1.0)
+             / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl))) AS score,
+         count(*) AS nmatch
+  FROM qterms q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id
+),
+ranked AS (
+  SELECT s.query_id, s.doc_id, s.score,
+         row_number() OVER (
+           PARTITION BY s.query_id
+           ORDER BY s.score DESC, CAST(s.doc_id AS VARCHAR) ASC
+         ) AS rank
+  FROM scored s
+  JOIN qreq r ON r.query_id = s.query_id AND s.nmatch = r.nreq
+  JOIN nphr np ON np.query_id = s.query_id
+  LEFT JOIN psat ps
+    ON ps.query_id = s.query_id AND ps.doc_id = s.doc_id
+  WHERE np.nph = 0 OR coalesce(ps.nsat, 0) = np.nph
+)
+SELECT query_id, CAST(rank AS INT) AS rank, doc_id
+FROM ranked WHERE rank <= {TOPK}
+"""
+
+
+@register("bm25_topk_web", _web_sql())
+def bm25_topk_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-style composite retrieval (positional.retrieve_web): quoted
+    segments must occur as exact phrases (positional plane), every bare
+    token is an implicit AND, BM25 ranks the survivors — both filters
+    applied BEFORE the top-k cut. The scoring/AND side is one pass whose
+    all-terms count rides the score shuffle (query.conjunctive_scores);
+    the phrase side folds per-(query, doc) satisfied-phrase counts from
+    the positional plane's algebraic matcher; w05's OOV term empties
+    that query, w04 intersects two phrase constraints. Rank-only
+    compare (engine scores are float32), as bm25_topk_engine."""
+    from .operators.indexing import build_index
+    from .operators.positional import positional_postings, retrieve_web
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    idx = build_index(docs, id_col="doc_id", text_col="text")
+    positional = positional_postings(docs)
+    res = retrieve_web(idx, positional, WEB_QUERIES, k=TOPK)
+    return res.select(
+        "query_id", F.col("rank").cast("int").alias("rank"),
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+    )
+
+
+# term pairs for the proximity entry: adjacent-ish pairs, a far pair,
+# and an OOV side that must produce no rows
+PROX_PAIRS: list[tuple[str, str, str]] = [
+    ("x01", "table", "hash"),
+    ("x02", "data", "merge"),
+    ("x03", "sort", "row"),
+    ("x04", "slow", "batch"),
+    ("x05", "table", "nosuchtokenxyz"),
+]
+
+_PROX_VALUES_SQL = ", ".join(
+    f"('{q}', '{a}', '{b}')" for q, a, b in PROX_PAIRS
+)
+
+_PROX_SQL_DUCK = f"""
+WITH tok AS (
+  SELECT doc_id, {tokens_sql('text')} AS tok FROM documents
+),
+pr(query_id, ta, tb) AS (VALUES {_PROX_VALUES_SQL}),
+m AS (
+  SELECT p.query_id, t.doc_id,
+    list_filter(generate_series(1, len(t.tok)), i -> t.tok[i] = p.ta) AS la,
+    list_filter(generate_series(1, len(t.tok)), i -> t.tok[i] = p.tb) AS lb
+  FROM pr p CROSS JOIN tok t
+)
+SELECT query_id, doc_id,
+  CAST(list_min(flatten(list_transform(
+    la, a -> list_transform(lb, b -> abs(a - b))))) AS INT) AS min_dist
+FROM m WHERE len(la) > 0 AND len(lb) > 0
+"""
+
+
+@register("term_pair_proximity", _PROX_SQL_DUCK)
+def term_pair_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimal token distance between two terms per doc
+    (positional.pair_proximity) — the primitive under proximity-boosted
+    ranking. The engine's scan is LINEAR (merged tagged positions +
+    one aggregate fold tracking the last position per side); the DuckDB
+    oracle is the quadratic cross-min, which must agree. Pair dimension
+    broadcasts and prunes both postings reads; x05's OOV side yields no
+    rows."""
+    from .operators.positional import pair_proximity, positional_postings
+
+    positional = positional_postings(
+        _docs(spark, sf_dir).select("doc_id", "text")
+    )
+    out = pair_proximity(positional, PROX_PAIRS)
+    return out.select(
+        "query_id",
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("min_dist").cast("int").alias("min_dist"),
+    )
+
+
+SNIPPET_QUERIES: list[tuple[str, str]] = [
+    ("s01", "table hash merge"),
+    ("s02", "sort data row"),
+    ("s03", "slow batch group"),
+]
+SNIPPET_W = 8
+
+_SNIPPET_VALUES_SQL = ", ".join(
+    f"('{q}', '{t}')" for q, t in SNIPPET_QUERIES
+)
+
+_SNIPPET_SQL_DUCK = f"""
+WITH tok AS (
+  SELECT doc_id, {tokens_sql('text')} AS tok FROM documents
+),
+qt AS (
+  SELECT query_id, list_distinct({tokens_sql('qtext')}) AS qts
+  FROM (VALUES {_SNIPPET_VALUES_SQL}) AS q(query_id, qtext)
+),
+starts AS (
+  SELECT doc_id, unnest(generate_series(1, len(tok))) AS start FROM tok
+),
+win AS (
+  SELECT qt.query_id, t.doc_id, s.start,
+         len(list_filter(qt.qts,
+             x -> list_contains(t.tok[s.start : s.start + {SNIPPET_W - 1}],
+                                x))) AS n_terms,
+         array_to_string(t.tok[s.start : s.start + {SNIPPET_W - 1}], ' ')
+           AS snippet
+  FROM qt CROSS JOIN tok t JOIN starts s ON s.doc_id = t.doc_id
+),
+best AS (
+  SELECT query_id, doc_id, start, n_terms, snippet,
+         row_number() OVER (
+           PARTITION BY query_id, doc_id
+           ORDER BY n_terms DESC, start ASC
+         ) AS rn
+  FROM win WHERE n_terms > 0
+)
+SELECT query_id, doc_id, CAST(start AS INT) AS start,
+       CAST(n_terms AS INT) AS n_terms, snippet
+FROM best WHERE rn = 1
+"""
+
+
+@register("best_snippet", _SNIPPET_SQL_DUCK)
+def best_snippet_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serving-side snippet selection (positional.best_snippet): the
+    {SNIPPET_W}-token window with the most DISTINCT query terms, ties
+    to the earliest start; snippet text is the space-joined span. Each
+    hit votes for its ≤W covering starts (row volume = hits × W, never
+    docs × positions); vote counts and per-doc argmax are two hash
+    aggregations. The DuckDB oracle enumerates every start of every doc
+    — brute force the engine must match exactly, snippet string
+    included."""
+    from .operators.positional import best_snippet
+
+    out = best_snippet(
+        _docs(spark, sf_dir).select("doc_id", "text"),
+        SNIPPET_QUERIES,
+        window=SNIPPET_W,
+    )
+    return out.select(
+        "query_id",
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("start").cast("int").alias("start"),
+        F.col("n_terms").cast("int").alias("n_terms"),
+        "snippet",
+    )

@@ -43,13 +43,16 @@ token-stream entropy.
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
 
 from ..config import DEFAULT, EngineConfig
 from ..functions.codec import varint_decode, varint_encode
-from ..functions.tokenize import tokens_col
+from ..functions.tokenize import tokenize_py, tokens_col
 
 
 def positional_postings(
@@ -175,3 +178,283 @@ def decode_positional(encoded: DataFrame) -> DataFrame:
         return pd.Series(out)
 
     return encoded.withColumn("positions", dec("positions"))
+
+
+def save_positional(
+    positional: DataFrame, out_dir: str, n_partitions: int = 32
+) -> None:
+    """Persist position lists: delta+varint bytes, hash-partitioned by
+    term and term-sorted within files — the same layout discipline as
+    ``InvertedIndex.save`` (indexing.py:71-79), so a phrase's term
+    ``isin`` filter prunes parquet row groups via min/max stats before
+    any positions decode."""
+    (encode_positional(positional)
+     .repartition(n_partitions, "term")
+     .sortWithinPartitions("term", "doc_id")
+     .write.mode("overwrite").parquet(out_dir))
+
+
+def load_positional(
+    spark: SparkSession, out_dir: str, terms: list[str] | None = None
+) -> DataFrame:
+    """Open a saved positional layout. ``terms`` prunes the scan to the
+    given vocabulary (pushed ``In`` on the term-sorted files — only row
+    groups holding those terms are read or decoded)."""
+    df = spark.read.parquet(out_dir)
+    if terms is not None:
+        uniq = sorted(set(terms))
+        if not uniq:
+            return decode_positional(df.limit(0))
+        df = df.filter(F.col("term").isin(uniq))
+    return decode_positional(df)
+
+
+def phrase_search_saved(
+    spark: SparkSession,
+    out_dir: str,
+    phrases: list[tuple[str, str]],
+    cfg: EngineConfig = DEFAULT,
+) -> DataFrame:
+    """Phrase retrieval over a SAVED positional layout: the load is
+    pruned to the phrases' own vocabulary, so query cost scales with
+    those terms' postings, not the corpus."""
+    need = sorted(
+        {t for _, p in phrases for t in tokenize_py(p, cfg.max_tokens)}
+    )
+    positional = load_positional(spark, out_dir, terms=need)
+    pdf = spark.createDataFrame(phrases, "query_id string, phrase string")
+    return phrase_occurrences(positional, pdf, cfg=cfg)
+
+
+def pair_proximity(
+    positional: DataFrame,
+    pairs: list[tuple[str, str, str]],
+) -> DataFrame:
+    """Minimal token distance between two DISTINCT terms per document:
+    (query_id, term_a, term_b) rows → (query_id, doc_id, min_dist int)
+    for every doc containing both terms.
+
+    The scan is LINEAR in tf_a + tf_b, not the tf_a × tf_b cross: both
+    position lists merge into one ascending tagged array and a single
+    ``aggregate`` fold tracks the last position seen on each side — the
+    global min |a − b| is always realized by some (current, most recent
+    opposite) adjacency in merged order. Pure Catalyst expressions, no
+    Python in the row path; the pair dimension broadcasts and prunes
+    both postings reads. This is the primitive under proximity-boosted
+    ranking ("terms near each other score higher") at web scale, where
+    a stopword pair's tf product would be quadratic but tf sum is not.
+    """
+    spark = positional.sparkSession
+    pdf = spark.createDataFrame(
+        pairs, "query_id string, term_a string, term_b string"
+    )
+    if any(a == b for _, a, b in pairs):
+        raise ValueError("pair_proximity: term_a must differ from term_b")
+    pa = positional.join(
+        F.broadcast(pdf.select(F.col("term_a").alias("term")).distinct()),
+        "term",
+    ).select(
+        F.col("term").alias("term_a"), "doc_id",
+        F.col("positions").alias("pos_a"),
+    )
+    pb = positional.join(
+        F.broadcast(pdf.select(F.col("term_b").alias("term")).distinct()),
+        "term",
+    ).select(
+        F.col("term").alias("term_b"), "doc_id",
+        F.col("positions").alias("pos_b"),
+    )
+    j = pa.join(F.broadcast(pdf), "term_a").join(pb, ["term_b", "doc_id"])
+    tagged = F.array_sort(
+        F.concat(
+            F.transform(
+                "pos_a",
+                lambda p: F.struct(p.alias("p"), F.lit(0).alias("s")),
+            ),
+            F.transform(
+                "pos_b",
+                lambda p: F.struct(p.alias("p"), F.lit(1).alias("s")),
+            ),
+        )
+    )
+    init = F.struct(
+        F.lit(None).cast("int").alias("la"),
+        F.lit(None).cast("int").alias("lb"),
+        F.lit(None).cast("int").alias("best"),
+    )
+
+    def step(acc, x):
+        cand = F.when(x["s"] == 0, x["p"] - acc["lb"]).otherwise(
+            x["p"] - acc["la"]
+        )
+        return F.struct(
+            F.when(x["s"] == 0, x["p"]).otherwise(acc["la"]).alias("la"),
+            F.when(x["s"] == 1, x["p"]).otherwise(acc["lb"]).alias("lb"),
+            # least() skips nulls: unseen-opposite candidates drop out
+            F.least(acc["best"], cand).alias("best"),
+        )
+
+    return j.select(
+        "query_id",
+        "doc_id",
+        F.aggregate(tagged, init, step, lambda a: a["best"]).alias(
+            "min_dist"
+        ),
+    ).filter(F.col("min_dist").isNotNull())
+
+
+def best_snippet(
+    docs: DataFrame,
+    queries: DataFrame | list[tuple[str, str]],
+    window: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    cfg: EngineConfig = DEFAULT,
+) -> DataFrame:
+    """Serving-side snippet selection: for each (query, doc with ≥1 hit)
+    pick the ``window``-token span containing the MOST DISTINCT query
+    terms; ties break to the earliest start. Returns (query_id, doc_id,
+    start int 1-based, n_terms int, snippet string = space-joined span).
+
+    Shape: a hit at position p can only witness window starts in
+    [p−window+1, p], so each hit explodes into ≤window start votes —
+    row volume = hits × window, never docs × positions. The vote count
+    per (query, doc, start) and the per-(query, doc) argmax are two
+    hash-partitioned aggregations; query terms broadcast. Nothing reads
+    a doc the query doesn't hit.
+    """
+    spark = docs.sparkSession
+    if isinstance(queries, list):
+        queries = spark.createDataFrame(
+            queries, "query_id string, text string"
+        )
+    toks = docs.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        tokens_col(text_col, cfg.max_tokens).alias("tokens"),
+    )
+    qterms = queries.select(
+        F.col("query_id").cast("string").alias("query_id"),
+        F.explode(
+            F.array_distinct(tokens_col("text", cfg.max_tokens))
+        ).alias("term"),
+    )
+    hits = toks.select(
+        "doc_id", F.posexplode("tokens").alias("pos0", "term")
+    ).join(F.broadcast(qterms), "term")
+    votes = hits.select(
+        "query_id",
+        "doc_id",
+        "term",
+        F.explode(
+            F.sequence(
+                F.greatest(F.lit(1), F.col("pos0") + 2 - window),
+                F.col("pos0") + 1,
+            )
+        ).alias("start"),
+    )
+    wins = votes.groupBy("query_id", "doc_id", "start").agg(
+        F.count_distinct("term").cast("int").alias("n_terms")
+    )
+    w = Window.partitionBy("query_id", "doc_id").orderBy(
+        F.desc("n_terms"), F.asc("start")
+    )
+    best = wins.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") == 1
+    )
+    return best.join(toks, "doc_id").select(
+        "query_id",
+        "doc_id",
+        "start",
+        "n_terms",
+        F.array_join(
+            F.slice("tokens", F.col("start"), F.lit(window)), " "
+        ).alias("snippet"),
+    )
+
+
+_QUOTED_RE = re.compile(r'"([^"]*)"')
+
+
+def parse_web_query(raw: str, cfg: EngineConfig = DEFAULT) -> list[str]:
+    """Quoted segments of a web-style query string that tokenize to at
+    least one term — the phrase constraints. The SCORING text is the raw
+    string itself: the tokenizer discards quotes, so phrase tokens
+    contribute tf to BM25 exactly as typed."""
+    return [
+        p
+        for p in _QUOTED_RE.findall(raw)
+        if tokenize_py(p, cfg.max_tokens)
+    ]
+
+
+def retrieve_web(
+    index,
+    positional: DataFrame,
+    queries: list[tuple[str, str]],
+    k: int = 10,
+    cfg: EngineConfig = DEFAULT,
+) -> DataFrame:
+    """Web-style query: ``'"exact phrase" other terms'`` → documents
+    matching EVERY quoted phrase (positional plane) AND containing every
+    bare token (implicit AND), ranked by BM25 over the full token bag,
+    engine tie rule. Both filters apply BEFORE the top-k cut.
+
+    Composition, one pass each plane: the scoring/AND side is
+    query.conjunctive_scores (distinct-term count rides the score
+    shuffle); the phrase side is phrase_occurrences with one synthetic
+    phrase id per (query, quoted segment), folded to a per-(query, doc)
+    satisfied-count and compared to the query's phrase count. Docs
+    join back through doc_dim (broadcast at serving scale); queries
+    with no quoted segment skip the phrase plane entirely.
+    """
+    from .query import _topk, conjunctive_scores
+
+    if any("#" in qid for qid, _ in queries):
+        raise ValueError(
+            "retrieve_web: '#' is reserved for synthetic phrase ids"
+        )
+    spark = positional.sparkSession
+    qdf = spark.createDataFrame(queries, "query_id string, text string")
+    scores = conjunctive_scores(index, qdf, cfg)
+
+    phrase_rows = [
+        (f"{qid}#{i}", ph)
+        for qid, raw in queries
+        for i, ph in enumerate(parse_web_query(raw, cfg))
+    ]
+    if not phrase_rows:
+        return _topk(scores, index, k)
+
+    n_phr = [
+        (qid, len(parse_web_query(raw, cfg))) for qid, raw in queries
+    ]
+    hits = phrase_occurrences(
+        positional,
+        spark.createDataFrame(
+            phrase_rows, "query_id string, phrase string"
+        ),
+        cfg=cfg,
+    )
+    sat = (
+        hits.select(
+            F.split("query_id", "#").getItem(0).alias("query_id"),
+            F.col("query_id").alias("_pid"),
+            "doc_id",
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.count_distinct("_pid").cast("int").alias("_nsat"))
+    )
+    req = spark.createDataFrame(n_phr, "query_id string, _nphr int")
+    ok = (
+        sat.join(F.broadcast(req), "query_id")
+        .filter(F.col("_nsat") == F.col("_nphr"))
+        .join(index.doc_dim.select("doc_id", "doc_idx"), "doc_id")
+        .select("query_id", "doc_idx")
+    )
+    no_phrase = [qid for qid, n in n_phr if n == 0]
+    kept = scores.join(ok, ["query_id", "doc_idx"], "left_semi")
+    if no_phrase:
+        kept = kept.unionByName(
+            scores.filter(F.col("query_id").isin(no_phrase))
+        )
+    return _topk(kept, index, k)

@@ -299,17 +299,31 @@ def retrieve_conjunctive(
     posting — ``min_weight > 0`` or a binding per-doc term cap could hide
     a term the doc actually contains and falsify the AND test.
     """
+    return _topk(conjunctive_scores(index, queries, cfg), index, k)
+
+
+def conjunctive_scores(
+    index: InvertedIndex,
+    queries: DataFrame,
+    cfg: EngineConfig = DEFAULT,
+) -> DataFrame:
+    """The pre-topk body of ``retrieve_conjunctive``: (query_id, doc_idx,
+    score) for docs containing every distinct query token. Exposed so
+    composite retrieval (positional.retrieve_web) can add further
+    filters BEFORE the rank cut — filtering after top-k would silently
+    drop docs that should rise into the k. Raises on indexes whose
+    pruning knobs would make the all-terms test undecidable."""
     meta = index.meta
     if float(meta.get("min_weight", 0.0)) > 0.0:
         raise ValueError(
-            "retrieve_conjunctive: index built with min_weight "
+            "conjunctive retrieval: index built with min_weight "
             f"{meta['min_weight']} > 0 — dropped postings would make the "
             "all-terms test undecidable"
         )
     max_tokens = int(meta.get("max_tokens", cfg.max_tokens))
     if int(meta.get("top_k_terms", 1 << 30)) < max_tokens:
         raise ValueError(
-            "retrieve_conjunctive: per-doc term cap binds "
+            "conjunctive retrieval: per-doc term cap binds "
             f"(top_k_terms={meta['top_k_terms']} < max_tokens="
             f"{max_tokens}) — capped-away postings would make the "
             "all-terms test undecidable"
@@ -330,12 +344,11 @@ def retrieve_conjunctive(
         F.count(F.lit(1)).alias("_nreq")
     )
     scores = _exhaustive_scores(index, q_terms, with_counts=True)
-    out = (
+    return (
         scores.join(F.broadcast(required), "query_id")
         .filter(F.col("_nterms") == F.col("_nreq"))
         .select("query_id", "doc_idx", "score")
     )
-    return _topk(out, index, k)
 
 
 def _wand_topk(
