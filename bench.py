@@ -48,6 +48,8 @@ HEADLINE = [
     "unigram_lm_cost",         # corpus-trained LM quality scoring (r4)
     "pq_adc_topk",             # product-quantization ADC top-k (r4)
     "boilerplate_stripped",    # cross-doc chrome-line removal (r4)
+    "phrase_match",            # positional-plane exact phrase (r4)
+    "bm25_topk_web",           # phrase AND terms composite retrieval (r4)
     "lineitem_pricing_agg",    # relational agg w/ pushed filter
     "top_orders_per_priority", # per-group top-k window
 ]

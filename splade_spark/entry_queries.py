@@ -3761,11 +3761,23 @@ def bm25_topk_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     that query, w04 intersects two phrase constraints. Rank-only
     compare (engine scores are float32), as bm25_topk_engine."""
     from .operators.indexing import build_index
-    from .operators.positional import positional_postings, retrieve_web
+    from .operators.positional import (
+        parse_web_query,
+        positional_postings,
+        retrieve_web,
+    )
 
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     idx = build_index(docs, id_col="doc_id", text_col="text")
-    positional = positional_postings(docs)
+    # ad-hoc path: the position build prunes to the phrase vocabulary
+    # BEFORE its aggregate (a saved layout would prune at the scan)
+    need = sorted({
+        t
+        for _, raw in WEB_QUERIES
+        for ph in parse_web_query(raw)
+        for t in tokenize_py(ph)
+    })
+    positional = positional_postings(docs, terms=need)
     res = retrieve_web(idx, positional, WEB_QUERIES, k=TOPK)
     return res.select(
         "query_id", F.col("rank").cast("int").alias("rank"),

@@ -60,11 +60,16 @@ def positional_postings(
     id_col: str = "doc_id",
     text_col: str = "text",
     cfg: EngineConfig = DEFAULT,
+    terms: list[str] | None = None,
 ) -> DataFrame:
     """Corpus → (term string, doc_id string, positions array<int> asc,
     tf int). Positions are 1-based token offsets after the engine's
     classic tokenization (truncation at ``cfg.max_tokens`` included, so
-    the position plane never claims text the scoring index dropped)."""
+    the position plane never claims text the scoring index dropped).
+
+    ``terms`` restricts the build to that vocabulary BEFORE the
+    aggregate — the ad-hoc query path (no saved layout) only shuffles
+    the phrase's own tokens instead of the whole token stream."""
     toks = docs.select(
         F.col(id_col).cast("string").alias("doc_id"),
         tokens_col(text_col, cfg.max_tokens).alias("tokens"),
@@ -72,6 +77,16 @@ def positional_postings(
     pos = toks.select(
         "doc_id", F.posexplode("tokens").alias("pos0", "term")
     )
+    if terms is not None:
+        uniq = sorted(set(terms))
+        if not uniq:
+            return pos.filter(F.lit(False)).groupBy("term", "doc_id").agg(
+                F.sort_array(F.collect_list(F.col("pos0") + 1)).alias(
+                    "positions"
+                ),
+                F.count(F.lit(1)).cast("int").alias("tf"),
+            )
+        pos = pos.filter(F.col("term").isin(uniq))
     return pos.groupBy("term", "doc_id").agg(
         F.sort_array(F.collect_list(F.col("pos0") + 1)).alias("positions"),
         F.count(F.lit(1)).cast("int").alias("tf"),
@@ -142,7 +157,10 @@ def phrase_search(
     Returns (query_id, doc_id, n_occurrences)."""
     spark = docs.sparkSession
     pdf = spark.createDataFrame(phrases, "query_id string, phrase string")
-    positional = positional_postings(docs, id_col, text_col, cfg)
+    need = sorted(
+        {t for _, p in phrases for t in tokenize_py(p, cfg.max_tokens)}
+    )
+    positional = positional_postings(docs, id_col, text_col, cfg, terms=need)
     return phrase_occurrences(positional, pdf, cfg=cfg)
 
 
@@ -446,15 +464,19 @@ def retrieve_web(
     )
     req = spark.createDataFrame(n_phr, "query_id string, _nphr int")
     ok = (
-        sat.join(F.broadcast(req), "query_id")
+        sat.join(F.broadcast(req.filter("_nphr > 0")), "query_id")
         .filter(F.col("_nsat") == F.col("_nphr"))
         .join(index.doc_dim.select("doc_id", "doc_idx"), "doc_id")
-        .select("query_id", "doc_idx")
+        .select("query_id", "doc_idx", F.lit(1).alias("_ok"))
     )
-    no_phrase = [qid for qid, n in n_phr if n == 0]
-    kept = scores.join(ok, ["query_id", "doc_idx"], "left_semi")
-    if no_phrase:
-        kept = kept.unionByName(
-            scores.filter(F.col("query_id").isin(no_phrase))
-        )
+    # single pass over the scores DAG: phrase-free queries pass on the
+    # broadcast _nphr == 0 arm, phrase queries on the _ok indicator —
+    # NOT a left_semi + union, which would evaluate the scoring plan
+    # twice
+    kept = (
+        scores.join(F.broadcast(req), "query_id")
+        .join(ok, ["query_id", "doc_idx"], "left")
+        .filter((F.col("_nphr") == 0) | F.col("_ok").isNotNull())
+        .select("query_id", "doc_idx", "score")
+    )
     return _topk(kept, index, k)

@@ -274,7 +274,9 @@ class ShardedServer:
             self.servers.append(srv)
         return self
 
-    def search(self, text: str, k: int = 10) -> list[tuple[str, float]]:
+    def search(
+        self, text: str, k: int = 10, route: bool = True
+    ) -> list[tuple[str, float]]:
         from ..functions.tokenize import tokenize_py
 
         s0 = self.servers[0]
@@ -283,7 +285,7 @@ class ShardedServer:
             tid = s0.term_info.get(t)
             if tid is not None and t not in s0.exclude:
                 qtf[tid] = qtf.get(tid, 0.0) + 1.0
-        return self.search_ids(qtf, k)
+        return self.search_ids(qtf, k, route=route)
 
     def search_weighted(
         self, term_weights: dict[str, float], k: int = 10
