@@ -18,7 +18,7 @@ import time
 sys.path.insert(0, ".")
 
 from splade_spark.config import DEFAULT
-from splade_spark.entry_queries import BM25_QUERIES
+from pyspark.sql import functions as F
 from splade_spark.operators.indexing import build_index
 from splade_spark.operators.query import load_term_info
 from splade_spark.operators.sharding import ShardedServer
@@ -26,29 +26,43 @@ from splade_spark.session import get_spark
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000
     n_shards = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     spark = get_spark(master="local[8]", shuffle_partitions=8)
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").selectExpr(
-        "cast(doc_id as string) doc_id", "text"
+    # fixtures web corpus: Zipf vocab with a real rare tail (the
+    # documents.parquet table's ~30-word vocab has no selective terms,
+    # so every doc-range shard holds every term — routing can't prune)
+    from splade_spark.fixtures import gen_pages
+
+    pdf = gen_pages(n_docs)
+    docs = spark.createDataFrame(pdf[["url", "text"]]).selectExpr(
+        "url as doc_id", "text"
     )
     idx = build_index(docs)
     broker = ShardedServer(idx, n_shards=n_shards)
 
-    # rare-term queries: lowest-df terms long enough to be real words
-    td = (
-        idx.term_dict.filter("df >= 2 and df <= 5 and length(term) >= 4")
+    # query sets from the corpus's own vocabulary: head terms (present
+    # in every doc-range shard — routing can't skip, measures overhead)
+    # and tail terms (postings localized to few shards — routing skips)
+    lo = (
+        idx.term_dict.filter("df >= 2")
         .orderBy("df", "term")
         .limit(24)
         .collect()
     )
+    hi = idx.term_dict.orderBy(F.desc("df"), "term").limit(20).collect()
     rare = [
-        (f"r{i:02d}", " ".join(r["term"] for r in td[i : i + 2]))
-        for i in range(0, len(td) - 1, 2)
+        (f"r{i:02d}", " ".join(r["term"] for r in lo[i : i + 2]))
+        for i in range(0, len(lo) - 1, 2)
     ]
+    common = [
+        (f"c{i:02d}", " ".join(r["term"] for r in hi[i : i + 2]))
+        for i in range(0, len(hi) - 1, 2)
+    ]
+    rare_df = [r["df"] for r in lo[:4]]
 
-    out = {"n_shards": n_shards, "sf_dir": sf_dir}
-    for label, qs in (("common", BM25_QUERIES), ("rare", rare)):
+    out = {"n_shards": n_shards, "n_docs": n_docs, "tail_df": rare_df}
+    for label, qs in (("common", common), ("rare", rare)):
         for route in (False, True):
             lat, visited = [], []
             for _, text in qs:
