@@ -3908,3 +3908,109 @@ def best_snippet_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_terms").cast("int").alias("n_terms"),
         "snippet",
     )
+
+
+PROXQ_QUERIES: list[tuple[str, str]] = [
+    ("v01", "table hash"),
+    ("v02", "data merge sort"),
+    ("v03", "slow batch"),
+    ("v04", "row column sort"),
+    ("v05", "merge"),
+]
+PROX_ALPHA = 1.0
+
+_PROXQ_VALUES_SQL = ", ".join(
+    f"('{q}', '{t}')" for q, t in PROXQ_QUERIES
+)
+
+_BM25_PROX_SQL_DUCK = f"""
+WITH tok AS (
+  SELECT doc_id, {tokens_sql('text')} AS tok FROM documents
+),
+tokx AS (SELECT doc_id, unnest(tok) AS term FROM tok),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tokx GROUP BY doc_id, term),
+dl AS (SELECT doc_id, len(tok) AS dl FROM tok),
+stats AS (
+  SELECT avg(dl) AS avgdl, (SELECT count(*) FROM documents) AS n_docs FROM dl
+),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+qtok AS (
+  SELECT query_id, unnest({tokens_sql('qtext')}) AS term
+  FROM (VALUES {_PROXQ_VALUES_SQL}) AS q(query_id, qtext)
+),
+qterms AS (
+  SELECT query_id, term, count(*) AS qtf FROM qtok GROUP BY query_id, term
+),
+qreq AS (
+  SELECT query_id, count(DISTINCT term) AS nreq FROM qtok GROUP BY query_id
+),
+ppos AS (
+  SELECT q.query_id, t.doc_id, q.term,
+    list_filter(generate_series(1, len(t.tok)), i -> t.tok[i] = q.term) AS ps
+  FROM (SELECT DISTINCT query_id, term FROM qtok) q CROSS JOIN tok t
+),
+flat AS (SELECT query_id, doc_id, term, unnest(ps) AS pos FROM ppos),
+gap AS (
+  SELECT a.query_id, a.doc_id, min(abs(a.pos - b.pos)) AS min_gap
+  FROM flat a JOIN flat b
+    ON a.query_id = b.query_id AND a.doc_id = b.doc_id
+   AND a.term <> b.term
+  GROUP BY a.query_id, a.doc_id
+),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(q.qtf * ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * ({K1} + 1.0)
+             / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl))) AS score,
+         count(*) AS nmatch
+  FROM qterms q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id
+),
+ranked AS (
+  SELECT s.query_id, s.doc_id,
+         row_number() OVER (
+           PARTITION BY s.query_id
+           ORDER BY s.score * (1.0 + {PROX_ALPHA} /
+                               (1.0 + coalesce(g.min_gap, 1e18))) DESC,
+                    CAST(s.doc_id AS VARCHAR) ASC
+         ) AS rank
+  FROM scored s
+  JOIN qreq r ON r.query_id = s.query_id AND s.nmatch = r.nreq
+  LEFT JOIN gap g ON g.query_id = s.query_id AND g.doc_id = s.doc_id
+)
+SELECT query_id, CAST(rank AS INT) AS rank, doc_id
+FROM ranked WHERE rank <= {TOPK}
+"""
+
+
+@register("bm25_topk_proximity", _BM25_PROX_SQL_DUCK)
+def bm25_topk_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proximity-boosted conjunctive retrieval
+    (positional.retrieve_proximity): AND-candidates ranked by
+    bm25 · (1 + α/(1 + min_gap)), min_gap = minimal distance between
+    any two distinct query terms in the doc. The engine computes the
+    gap in ONE sorted fold over the query terms' merged positions (the
+    global pair minimum is always an adjacent different-term gap);
+    the oracle is the quadratic all-pairs min and must agree. v05 is
+    single-term (boost 0 — pure BM25 rank passthrough). Rank-only
+    compare (float scores), as bm25_topk_engine."""
+    from .operators.indexing import build_index
+    from .operators.positional import positional_postings, retrieve_proximity
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    idx = build_index(docs, id_col="doc_id", text_col="text")
+    need = sorted({
+        t for _, q in PROXQ_QUERIES for t in tokenize_py(q)
+    })
+    positional = positional_postings(docs, terms=need)
+    res = retrieve_proximity(
+        idx, positional, PROXQ_QUERIES, k=TOPK, alpha=PROX_ALPHA
+    )
+    return res.select(
+        "query_id", F.col("rank").cast("int").alias("rank"),
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+    )

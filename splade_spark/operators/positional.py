@@ -390,6 +390,114 @@ def best_snippet(
     )
 
 
+def min_term_gap(
+    positional: DataFrame,
+    queries: DataFrame,
+    cfg: EngineConfig = DEFAULT,
+) -> DataFrame:
+    """Minimal distance between ANY two DISTINCT query terms per doc:
+    (query_id, doc_id, min_gap int) for docs holding ≥2 of the query's
+    terms. Generalizes pair_proximity to whole queries in ONE pass: the
+    global min over all term pairs is always realized by two ADJACENT
+    positions of different terms in the merged ascending position order,
+    so a single sorted fold over the query terms' tagged positions —
+    volume = those terms' occurrences, never a pairs cross — suffices.
+    """
+    qterms = queries.select(
+        F.col("query_id").cast("string").alias("query_id"),
+        F.explode(
+            F.array_distinct(tokens_col("text", cfg.max_tokens))
+        ).alias("term"),
+    )
+    hits = positional.join(F.broadcast(qterms), "term").select(
+        "query_id",
+        "doc_id",
+        "term",
+        F.explode("positions").alias("pos"),
+    )
+    tagged = (
+        hits.groupBy("query_id", "doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("pos"), F.col("term")))
+            ).alias("tp")
+        )
+    )
+    init = F.struct(
+        F.lit(None).cast("int").alias("lp"),
+        F.lit(None).cast("string").alias("lt"),
+        F.lit(None).cast("int").alias("best"),
+    )
+
+    def step(acc, x):
+        cand = F.when(x["term"] != acc["lt"], x["pos"] - acc["lp"])
+        return F.struct(
+            x["pos"].alias("lp"),
+            x["term"].alias("lt"),
+            F.least(acc["best"], cand).alias("best"),
+        )
+
+    return tagged.select(
+        "query_id",
+        "doc_id",
+        F.aggregate("tp", init, step, lambda a: a["best"]).alias(
+            "min_gap"
+        ),
+    ).filter(F.col("min_gap").isNotNull())
+
+
+def retrieve_proximity(
+    index,
+    positional: DataFrame,
+    queries: list[tuple[str, str]],
+    k: int = 10,
+    alpha: float = 1.0,
+    cfg: EngineConfig = DEFAULT,
+) -> DataFrame:
+    """Proximity-boosted conjunctive retrieval: candidates contain every
+    distinct query token (implicit AND), ranked by
+    ``bm25 · (1 + alpha / (1 + min_gap))`` where min_gap is the minimal
+    distance between any two distinct query terms in the doc — the
+    classic "terms near each other rank higher" web heuristic. Every
+    AND-candidate of a ≥2-term query has a defined gap (it contains all
+    terms); single-term queries rank by plain BM25 (boost 0 via the
+    left join). Both planes are single-pass (conjunctive_scores;
+    min_term_gap) and join on (query, doc) before the top-k cut.
+    """
+    from .query import _topk, conjunctive_scores
+
+    spark = positional.sparkSession
+    qdf = spark.createDataFrame(queries, "query_id string, text string")
+    scores = conjunctive_scores(index, qdf, cfg)
+    gaps = min_term_gap(positional, qdf, cfg).join(
+        index.doc_dim.select("doc_id", "doc_idx"), "doc_id"
+    ).select("query_id", "doc_idx", "min_gap")
+    boosted = (
+        scores.join(gaps, ["query_id", "doc_idx"], "left")
+        .select(
+            "query_id",
+            "doc_idx",
+            (
+                F.col("score").cast("double")
+                * (
+                    F.lit(1.0)
+                    + F.lit(float(alpha))
+                    / (F.lit(1.0) + F.col("min_gap"))
+                )
+            ).alias("_boosted"),
+            "score",
+        )
+        .select(
+            "query_id",
+            "doc_idx",
+            F.coalesce("_boosted", F.col("score").cast("double")).alias(
+                "score"
+            ),
+        )
+    )
+    return _topk(boosted, index, k)
+
+
 _QUOTED_RE = re.compile(r'"([^"]*)"')
 
 

@@ -201,3 +201,59 @@ def test_best_snippet_matches_bruteforce(spark, built):
             if best:
                 want[(qid, did)] = best
     assert got == want and want
+
+
+def test_min_term_gap_matches_bruteforce(spark, built):
+    from itertools import combinations
+
+    from splade_spark.operators.positional import min_term_gap
+
+    docs, idx, oi, positional = built
+    queries = [
+        ("g1", "hash join strategy"),
+        ("g2", "build side"),
+        ("g3", "hash rivers"),
+        ("g4", "hash"),          # single term: no gap rows
+        ("g5", "hash nosuchtok"),
+    ]
+    qdf = spark.createDataFrame(queries, "query_id string, text string")
+    got = {
+        (r["query_id"], r["doc_id"]): r["min_gap"]
+        for r in min_term_gap(positional, qdf).collect()
+    }
+    want = {}
+    for qid, qtext in queries:
+        qt = sorted(set(tokenize_py(qtext, MAXTOK)))
+        for did, text in DOCS:
+            toks = tokenize_py(text, MAXTOK)
+            pos = {
+                t: [i + 1 for i, x in enumerate(toks) if x == t]
+                for t in qt
+            }
+            best = None
+            for ta, tb in combinations(qt, 2):
+                for a in pos[ta]:
+                    for b in pos[tb]:
+                        d = abs(a - b)
+                        if best is None or d < best:
+                            best = d
+            if best is not None:
+                want[(qid, did)] = best
+    assert got == want and want
+    assert not any(q == "g4" for q, _ in got)
+
+
+def test_retrieve_proximity_reorders_by_gap(spark, built):
+    from splade_spark.operators.positional import retrieve_proximity
+
+    docs, idx, oi, positional = built
+    # "build side": d02 has them adjacent, d07 has "build side" adjacent
+    # too but different bm25; single-term query passes through as BM25
+    res = retrieve_proximity(
+        idx, positional, [("p", "hash join"), ("solo", "strategy")], k=10
+    ).collect()
+    by_q = {}
+    for r in res:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["doc_id"]))
+    assert by_q["p"][0][1] in {"d01", "d02", "d04"}  # adjacent-phrase docs
+    assert len(by_q["solo"]) >= 1  # boost-0 path returns plain BM25 ranks
