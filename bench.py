@@ -163,6 +163,34 @@ def main() -> None:
         sh_ms.append((time.perf_counter() - t0) * 1000.0)
     sharded_p50 = statistics.median(sh_ms)
 
+    # served web queries: quoted phrase (from the corpus's own adjacent
+    # bigrams) + a bare term, conjunctive + phrase filter + BM25, warm
+    # in-process (WebQueryServer) — rank-identical to the distributed
+    # composite plane (tests/test_webserve.py)
+    from splade_spark.functions.tokenize import tokenize_py
+    from splade_spark.operators.positional import positional_postings
+    from splade_spark.operators.webserve import PositionalStore, WebQueryServer
+
+    web_qs = []
+    for i in range(20):
+        toks = pages.iloc[i]["text"].split()
+        web_qs.append(f'"{toks[0]} {toks[1]}" {toks[2]}')
+    web_vocab = sorted({t for q in web_qs for t in tokenize_py(q)})
+    t0 = time.perf_counter()
+    pos_rows = [
+        (r["term"], r["doc_id"], list(r["positions"]))
+        for r in positional_postings(docs, terms=web_vocab).collect()
+    ]
+    wsrv = WebQueryServer(srv, PositionalStore.from_rows(pos_rows))
+    web_load_sec = time.perf_counter() - t0
+    wsrv.search(web_qs[0], k=DEFAULT.top_k)  # warmup
+    web_ms: list[float] = []
+    for q in web_qs:
+        t0 = time.perf_counter()
+        wsrv.search(q, k=DEFAULT.top_k)
+        web_ms.append((time.perf_counter() - t0) * 1000.0)
+    web_p50 = statistics.median(web_ms)
+
     out = {
         "metric": "headline_suite_wall",
         "value": suite_sec,
@@ -180,6 +208,8 @@ def main() -> None:
         "batch20_wand_sec": round(batch_sec, 3),
         "sharded4_p50_ms": round(sharded_p50, 2),
         "sharded4_load_sec": round(shard_load_sec, 3),
+        "webq_p50_ms": round(web_p50, 2),
+        "webq_pos_load_sec": round(web_load_sec, 3),
         "cpus": int(cpus),
     }
     spark.stop()

@@ -1,0 +1,188 @@
+"""In-process web-query serving: conjunctive BM25 + exact phrase
+filtering at millisecond latency.
+
+The distributed plane answers web-style queries (quoted phrases ∧
+implicit AND ∧ BM25, positional.retrieve_web) as Spark jobs; this
+module is the SERVING mirror, the same shape LocalIndexServer gives the
+bag-of-words path (query.py:615-738): everything warm in one process,
+zero Spark jobs per query. A fleet node pairs one doc-range index shard
+(LocalIndexServer / ShardedServer) with the SAME doc range's positional
+slice; the broker merges per-shard top-k exactly as for OR queries —
+conjunctive and phrase constraints are per-doc predicates, so shard
+merges stay trivially rank-safe.
+
+Scale notes: the positional store is the memory analogue of the saved
+layout (positional.save_positional) — load only this shard's doc range,
+and optionally only a query-vocabulary subset (`terms=`), which at
+serving time is the live query stream's vocabulary, not the corpus's.
+Phrase matching intersects shifted position arrays (NumPy
+``intersect1d`` over sorted unique ints) starting from the rarest slot,
+so cost tracks the phrase's own postings exactly like the distributed
+matcher.
+
+Score parity: products f32, accumulation f64, final score f32 — the
+engine's A1 contract — and the (score desc, doc_idx asc) tie rule, so
+served results are rank-identical to positional.retrieve_web
+(pinned by tests/test_webserve.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..config import DEFAULT
+from ..functions.codec import decode_block, varint_decode
+from ..functions.tokenize import tokenize_py
+from .positional import parse_web_query
+from .query import LocalIndexServer
+
+
+class PositionalStore:
+    """Warm positional lists: term → {doc_id: ascending int64 positions}."""
+
+    def __init__(self, by_term: dict[str, dict[str, np.ndarray]]):
+        self.by_term = by_term
+
+    @classmethod
+    def from_saved(
+        cls, pos_dir: str, terms: list[str] | None = None
+    ) -> "PositionalStore":
+        """Load a saved positional layout (positional.save_positional:
+        term-partitioned parquet, delta+varint position bytes) via Arrow.
+        ``terms`` prunes to a vocabulary — the serving fleet loads only
+        the query stream's terms for its own doc range."""
+        import pyarrow.dataset as ds
+
+        dataset = ds.dataset(pos_dir, format="parquet")
+        flt = None
+        if terms is not None:
+            flt = ds.field("term").isin(sorted(set(terms)))
+        tbl = dataset.to_table(
+            columns=["term", "doc_id", "positions"], filter=flt
+        )
+        by_term: dict[str, dict[str, np.ndarray]] = {}
+        for t, d, p in zip(
+            tbl.column("term").to_pylist(),
+            tbl.column("doc_id").to_pylist(),
+            tbl.column("positions").to_pylist(),
+        ):
+            by_term.setdefault(t, {})[d] = varint_decode(bytes(p)).astype(
+                np.int64
+            ).cumsum()
+        return cls(by_term)
+
+    @classmethod
+    def from_rows(
+        cls, rows: list[tuple[str, str, list[int]]]
+    ) -> "PositionalStore":
+        """(term, doc_id, ascending positions) rows — the test/demo path
+        (collect a positional_postings DataFrame)."""
+        by_term: dict[str, dict[str, np.ndarray]] = {}
+        for t, d, ps in rows:
+            by_term.setdefault(t, {})[d] = np.asarray(ps, dtype=np.int64)
+        return cls(by_term)
+
+    def docs_with_phrase(self, ptoks: list[str]) -> set[str]:
+        """doc_ids containing the exact phrase. Intersection walks start
+        from the rarest slot's postings; shifted-position intersects are
+        linear in the touched lists."""
+        maps = [self.by_term.get(t) for t in ptoks]
+        if not maps or any(m is None for m in maps):
+            return set()
+        seed = min(range(len(maps)), key=lambda i: len(maps[i]))
+        out: set[str] = set()
+        for doc in maps[seed]:
+            if any(doc not in m for m in maps):
+                continue
+            starts = maps[0][doc]
+            for off in range(1, len(maps)):
+                starts = np.intersect1d(
+                    starts, maps[off][doc] - off, assume_unique=True
+                )
+                if starts.size == 0:
+                    break
+            if starts.size:
+                out.add(doc)
+        return out
+
+
+class WebQueryServer:
+    """One serving node: a warm index shard + its positional slice."""
+
+    def __init__(self, srv: LocalIndexServer, store: PositionalStore):
+        self.srv = srv
+        self.store = store
+        if float(srv.min_weight) > 0.0 or srv.top_k_terms < srv.max_tokens:
+            raise ValueError(
+                "WebQueryServer: conjunctive serving needs a complete "
+                "index (min_weight == 0 and a non-binding per-doc term "
+                "cap) — pruned postings make the all-terms test "
+                "undecidable"
+            )
+
+    def search(self, raw: str, k: int = 10) -> list[tuple[str, float]]:
+        """'"exact phrase" bare terms' → [(doc_id, score f32)] — docs
+        matching every quoted phrase AND containing every token, ranked
+        by BM25 over the full token bag, (score desc, doc_idx asc)."""
+        srv = self.srv
+        qtf: dict[int, float] = {}
+        req: set[str] = set()
+        for t in tokenize_py(raw, srv.max_tokens):
+            if t in srv.exclude:
+                continue
+            req.add(t)
+            tid = srv.term_info.get(t)
+            if tid is not None:
+                qtf[tid] = qtf.get(tid, 0.0) + 1.0
+        if not req or any(t not in srv.term_info for t in req):
+            return []  # OOV token: implicit AND can never hold
+        d_parts, s_parts = [], []
+        for tid in sorted(qtf):
+            blocks = srv.by_term.get(tid, ())
+            if not blocks:
+                return []  # term absent from this shard: no AND match
+            qw = np.float32(qtf[tid])
+            for _, _, _, g, wbytes in blocks:
+                d, w = decode_block(g, wbytes)
+                d_parts.append(d)
+                # A1 contract: f32 products, f64 accumulation
+                s_parts.append(
+                    (qw * w.astype(np.float32)).astype(np.float64)
+                )
+        docs = np.concatenate(d_parts)
+        prods = np.concatenate(s_parts)
+        uniq, inv = np.unique(docs, return_inverse=True)
+        sums = np.zeros(uniq.size, dtype=np.float64)
+        np.add.at(sums, inv, prods)
+        cnt = np.zeros(uniq.size, dtype=np.int64)
+        np.add.at(cnt, inv, 1)  # blocks hold disjoint docs within a term
+        mask = cnt == len(qtf)
+        cand, csum = uniq[mask], sums[mask]
+        if cand.size == 0:
+            return []
+        phrases = parse_web_query(raw)
+        if phrases:
+            allowed: set[str] | None = None
+            for ph in phrases:
+                hit = self.store.docs_with_phrase(
+                    tokenize_py(ph, srv.max_tokens)
+                )
+                allowed = hit if allowed is None else (allowed & hit)
+                if not allowed:
+                    return []
+            keep = np.array(
+                [
+                    srv.doc_ids[int(d) - srv.doc_base] in allowed
+                    for d in cand
+                ],
+                dtype=bool,
+            )
+            cand, csum = cand[keep], csum[keep]
+            if cand.size == 0:
+                return []
+        scores = csum.astype(np.float32)
+        order = np.lexsort((cand, -scores.astype(np.float64)))[:k]
+        return [
+            (srv.doc_ids[int(cand[i]) - srv.doc_base], float(scores[i]))
+            for i in order
+        ]

@@ -1,0 +1,80 @@
+"""Served web queries (WebQueryServer) are rank-identical to the
+distributed composite plane (positional.retrieve_web)."""
+
+import pytest
+
+from splade_spark.operators.indexing import build_index
+from splade_spark.operators.positional import (
+    positional_postings,
+    retrieve_web,
+    save_positional,
+)
+from splade_spark.operators.query import LocalIndexServer
+from splade_spark.operators.webserve import PositionalStore, WebQueryServer
+
+from test_web_search import DOCS, WEBQ
+
+
+@pytest.fixture(scope="module")
+def served(spark):
+    docs = spark.createDataFrame(DOCS, "doc_id string, text string")
+    idx = build_index(docs)
+    positional = positional_postings(docs)
+    rows = [
+        (r["term"], r["doc_id"], list(r["positions"]))
+        for r in positional.collect()
+    ]
+    srv = LocalIndexServer(idx)
+    ws = WebQueryServer(srv, PositionalStore.from_rows(rows))
+    yield docs, idx, positional, ws
+    idx.unpersist()
+
+
+def test_served_matches_distributed(spark, served):
+    docs, idx, positional, ws = served
+    dist = {}
+    for r in retrieve_web(idx, positional, WEBQ, k=10).collect():
+        dist.setdefault(r["query_id"], []).append(
+            (r["rank"], r["doc_id"], r["score"])
+        )
+    for qid, raw in WEBQ:
+        got = ws.search(raw, k=10)
+        want = [
+            (d, s) for _, d, s in sorted(dist.get(qid, []))
+        ]
+        assert [d for d, _ in got] == [d for d, _ in want], qid
+        for (_, gs), (_, wscore) in zip(
+            [(d, s) for d, s in got], [(d, s) for d, s in want]
+        ):
+            assert abs(gs - wscore) <= 1e-6 * max(1.0, abs(wscore)), qid
+
+
+def test_store_from_saved_matches_from_rows(spark, served, tmp_path):
+    docs, idx, positional, ws = served
+    out = str(tmp_path / "pos")
+    save_positional(positional, out, n_partitions=3)
+    loaded = PositionalStore.from_saved(out)
+    assert set(loaded.by_term) == set(ws.store.by_term)
+    for t, m in ws.store.by_term.items():
+        lm = loaded.by_term[t]
+        assert set(m) == set(lm)
+        for d in m:
+            assert list(m[d]) == list(lm[d])
+    # vocabulary-pruned load
+    pruned = PositionalStore.from_saved(out, terms=["hash", "join"])
+    assert set(pruned.by_term) == {"hash", "join"}
+
+
+def test_server_rejects_pruned_index(spark):
+    import dataclasses
+
+    from splade_spark.config import DEFAULT
+
+    docs = spark.createDataFrame(DOCS, "doc_id string, text string")
+    idx = build_index(docs, cfg=dataclasses.replace(DEFAULT, min_weight=0.1))
+    try:
+        srv = LocalIndexServer(idx)
+        with pytest.raises(ValueError, match="complete index"):
+            WebQueryServer(srv, PositionalStore.from_rows([]))
+    finally:
+        idx.unpersist()
