@@ -390,6 +390,69 @@ def best_snippet(
     )
 
 
+def tombstone_positional(
+    positional: DataFrame, drop_ids: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Remove docs from the positional plane. Unlike the scoring index —
+    where deletes must rewrite blocks and re-derive df/idf/avgdl exactly
+    (merge.apply_tombstones) — positional rows are independent per
+    (term, doc), so every mutation verb here is an EXACT set operation:
+    a delete is one left_anti join, equal to a rebuild on the kept docs
+    row-for-row."""
+    drops = drop_ids.select(
+        F.col(id_col).cast("string").alias("doc_id")
+    ).distinct()
+    return positional.join(F.broadcast(drops), "doc_id", "left_anti")
+
+
+def append_positional(
+    positional: DataFrame,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    cfg: EngineConfig = DEFAULT,
+) -> DataFrame:
+    """Fold a new doc batch in: tokenize ONLY the batch, union the rows.
+    Exact vs a rebuild (set equality) when batch ids are disjoint from
+    the existing plane; for replace-or-insert use upsert_positional."""
+    return positional.unionByName(
+        positional_postings(new_docs, id_col, text_col, cfg)
+    )
+
+
+def upsert_positional(
+    positional: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    cfg: EngineConfig = DEFAULT,
+) -> DataFrame:
+    """Replace-or-insert: tombstone the batch's ids, fold the batch —
+    re-crawled pages replace their old position lists exactly."""
+    return append_positional(
+        tombstone_positional(positional, docs.select(id_col), id_col),
+        docs, id_col, text_col, cfg,
+    )
+
+
+def append_positional_saved(
+    pos_dir: str,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    cfg: EngineConfig = DEFAULT,
+    n_partitions: int = 32,
+) -> None:
+    """Fold a batch into a SAVED layout without touching existing files:
+    the new rows append as fresh term-partitioned parquet files (batch
+    ids must be disjoint — pair with a snapshot filter upstream). Term
+    pruning still pushes into the scan across old + new files alike."""
+    (encode_positional(positional_postings(new_docs, id_col, text_col, cfg))
+     .repartition(n_partitions, "term")
+     .sortWithinPartitions("term", "doc_id")
+     .write.mode("append").parquet(pos_dir))
+
+
 def min_term_gap(
     positional: DataFrame,
     queries: DataFrame,

@@ -257,3 +257,54 @@ def test_retrieve_proximity_reorders_by_gap(spark, built):
         by_q.setdefault(r["query_id"], []).append((r["rank"], r["doc_id"]))
     assert by_q["p"][0][1] in {"d01", "d02", "d04"}  # adjacent-phrase docs
     assert len(by_q["solo"]) >= 1  # boost-0 path returns plain BM25 ranks
+
+
+def test_positional_mutations_equal_rebuild(spark, tmp_path):
+    from splade_spark.operators.positional import (
+        append_positional,
+        append_positional_saved,
+        load_positional,
+        save_positional,
+        tombstone_positional,
+        upsert_positional,
+    )
+
+    base = DOCS[:5]
+    extra = [("d09", "fresh crawl hash join data"), ("d10", "more rivers")]
+    replaced = [("d02", "the build side changed entirely"), ("d11", "new")]
+
+    def rows(df):
+        return {
+            (r["term"], r["doc_id"], tuple(r["positions"]), r["tf"])
+            for r in df.collect()
+        }
+
+    mk = lambda d: spark.createDataFrame(d, "doc_id string, text string")
+    pos = positional_postings(mk(base))
+
+    # delete == rebuild on kept
+    kept = [d for d in base if d[0] not in ("d02", "d04")]
+    drop = spark.createDataFrame([("d02",), ("d04",)], "doc_id string")
+    assert rows(tombstone_positional(pos, drop)) == rows(
+        positional_postings(mk(kept))
+    )
+
+    # append == rebuild on union
+    assert rows(append_positional(pos, mk(extra))) == rows(
+        positional_postings(mk(base + extra))
+    )
+
+    # upsert == rebuild on replaced corpus
+    after = {d: t for d, t in base}
+    after.update({d: t for d, t in replaced})
+    assert rows(upsert_positional(pos, mk(replaced))) == rows(
+        positional_postings(mk(sorted(after.items())))
+    )
+
+    # saved-layout append fold == full save of the union
+    out = str(tmp_path / "pos_fold")
+    save_positional(pos, out, n_partitions=2)
+    append_positional_saved(out, mk(extra), n_partitions=2)
+    assert rows(load_positional(spark, out)) == rows(
+        positional_postings(mk(base + extra))
+    )
