@@ -125,6 +125,23 @@ class WebQueryServer:
         matching every quoted phrase AND containing every token, ranked
         by BM25 over the full token bag, (score desc, doc_idx asc)."""
         srv = self.srv
+        docs, scores = self.topk_arrays(raw, k)
+        return [
+            (srv.doc_ids[int(d) - srv.doc_base], float(s))
+            for d, s in zip(docs, scores)
+        ]
+
+    def topk_arrays(
+        self, raw: str, k: int = 10
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Top-k as (global doc_idx int64, score float32), ranked
+        (score desc, doc_idx asc) — the sharded broker's merge currency
+        (ShardedWebServer), mirroring LocalIndexServer.topk_arrays."""
+        srv = self.srv
+        empty = (
+            np.empty(0, dtype=np.int64),
+            np.empty(0, dtype=np.float32),
+        )
         qtf: dict[int, float] = {}
         req: set[str] = set()
         for t in tokenize_py(raw, srv.max_tokens):
@@ -135,12 +152,12 @@ class WebQueryServer:
             if tid is not None:
                 qtf[tid] = qtf.get(tid, 0.0) + 1.0
         if not req or any(t not in srv.term_info for t in req):
-            return []  # OOV token: implicit AND can never hold
+            return empty  # OOV token: implicit AND can never hold
         d_parts, s_parts = [], []
         for tid in sorted(qtf):
             blocks = srv.by_term.get(tid, ())
             if not blocks:
-                return []  # term absent from this shard: no AND match
+                return empty  # term absent from this shard: no AND match
             qw = np.float32(qtf[tid])
             for _, _, _, g, wbytes in blocks:
                 d, w = decode_block(g, wbytes)
@@ -159,7 +176,7 @@ class WebQueryServer:
         mask = cnt == len(qtf)
         cand, csum = uniq[mask], sums[mask]
         if cand.size == 0:
-            return []
+            return empty
         phrases = parse_web_query(raw)
         if phrases:
             allowed: set[str] | None = None
@@ -169,7 +186,7 @@ class WebQueryServer:
                 )
                 allowed = hit if allowed is None else (allowed & hit)
                 if not allowed:
-                    return []
+                    return empty
             keep = np.array(
                 [
                     srv.doc_ids[int(d) - srv.doc_base] in allowed
@@ -179,10 +196,100 @@ class WebQueryServer:
             )
             cand, csum = cand[keep], csum[keep]
             if cand.size == 0:
-                return []
+                return empty
         scores = csum.astype(np.float32)
         order = np.lexsort((cand, -scores.astype(np.float64)))[:k]
-        return [
-            (srv.doc_ids[int(cand[i]) - srv.doc_base], float(scores[i]))
-            for i in order
+        return cand[order], scores[order]
+
+
+class ShardedWebServer:
+    """Web-query broker over doc-range shards: each node is a
+    WebQueryServer (index shard + its positional slice); the broker
+    routes, fans out, and merges per-shard top-k by the engine tie rule
+    — results identical to one unsharded server (pytest-pinned).
+
+    Conjunctive routing is STRONGER than the OR broker's
+    (sharding.ShardedServer.search_ids): a shard missing ANY required
+    term cannot hold an AND candidate and is skipped outright, on top of
+    the same Σ qw·max_w(term, shard) upper-bound descent with strict
+    θ-cut. Selective multi-term web queries therefore touch only the
+    shards whose doc ranges hold ALL their terms."""
+
+    def __init__(self, index, positional_rows, n_shards: int = 4):
+        from .sharding import ShardedServer
+
+        self._broker = ShardedServer(index, n_shards=n_shards)
+        by_doc_shard: dict[str, int] = {}
+        for si, srv in enumerate(self._broker.servers):
+            for d in srv.doc_ids:
+                if d is not None:
+                    by_doc_shard[d] = si
+        slices: list[dict] = [dict() for _ in self._broker.servers]
+        for t, d, ps in positional_rows:
+            si = by_doc_shard.get(d)
+            if si is not None:
+                slices[si].setdefault(t, {})[d] = np.asarray(
+                    ps, dtype=np.int64
+                )
+        self.nodes = [
+            WebQueryServer(srv, PositionalStore(slc))
+            for srv, slc in zip(self._broker.servers, slices)
         ]
+        self.last_shards_visited = 0
+
+    def search(
+        self, raw: str, k: int = 10, route: bool = True
+    ) -> list[tuple[str, float]]:
+        s0 = self.nodes[0].srv
+        qtf: dict[int, float] = {}
+        req_ok = True
+        for t in tokenize_py(raw, s0.max_tokens):
+            if t in s0.exclude:
+                continue
+            tid = s0.term_info.get(t)
+            if tid is None:
+                req_ok = False
+                break
+            qtf[tid] = qtf.get(tid, 0.0) + 1.0
+        self.last_shards_visited = 0
+        if not req_ok or not qtf:
+            return []
+        candidates = list(enumerate(self.nodes))
+        bounds = None
+        if route:
+            ubs = []
+            for si, node in enumerate(self.nodes):
+                tm = node.srv.term_max
+                if any(tid not in tm for tid in qtf):
+                    continue  # a missing term kills every AND candidate
+                ub = sum(float(qw) * float(tm[tid]) for tid, qw in qtf.items())
+                ubs.append((ub, si))
+            ubs.sort(key=lambda p: (-p[0], p[1]))
+            candidates = [(si, self.nodes[si]) for _, si in ubs]
+            bounds = [np.float32(ub) for ub, _ in ubs]
+        merged_d = np.empty(0, dtype=np.int64)
+        merged_s = np.empty(0, dtype=np.float32)
+        theta = None
+        for pos, (si, node) in enumerate(candidates):
+            if route and theta is not None and bounds[pos] < theta:
+                break
+            d, s = node.topk_arrays(raw, k)
+            self.last_shards_visited += 1
+            if not d.size:
+                continue
+            merged_d = np.concatenate((merged_d, d))
+            merged_s = np.concatenate((merged_s, s))
+            sel = np.lexsort((merged_d, -merged_s.astype(np.float64)))[:k]
+            merged_d, merged_s = merged_d[sel], merged_s[sel]
+            if merged_d.size >= k:
+                theta = merged_s[-1]
+        out = []
+        for d, s in zip(merged_d, merged_s):
+            si = None
+            for node in self.nodes:
+                base = node.srv.doc_base
+                if base <= int(d) < base + len(node.srv.doc_ids):
+                    si = node
+                    break
+            out.append((si.srv.doc_ids[int(d) - si.srv.doc_base], float(s)))
+        return out

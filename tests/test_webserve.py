@@ -78,3 +78,24 @@ def test_server_rejects_pruned_index(spark):
             WebQueryServer(srv, PositionalStore.from_rows([]))
     finally:
         idx.unpersist()
+
+
+def test_sharded_web_matches_single(spark, served):
+    from splade_spark.operators.webserve import ShardedWebServer
+
+    docs, idx, positional, ws = served
+    rows = [
+        (r["term"], r["doc_id"], list(r["positions"]))
+        for r in positional.collect()
+    ]
+    broker = ShardedWebServer(idx, rows, n_shards=3)
+    for qid, raw in WEBQ:
+        want = ws.search(raw, k=10)
+        for route in (False, True):
+            got = broker.search(raw, k=10, route=route)
+            assert got == want, (qid, route)
+            if want:
+                assert broker.last_shards_visited <= 3
+    # OOV query touches no shard at all under routing
+    broker.search('"hash join" nosuchtokzz', k=10, route=True)
+    assert broker.last_shards_visited == 0
