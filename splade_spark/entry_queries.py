@@ -4014,3 +4014,71 @@ def bm25_topk_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", F.col("rank").cast("int").alias("rank"),
         F.col("doc_id").cast("bigint").alias("doc_id"),
     )
+
+
+MSM = 2
+
+_BM25_MSM_SQL_DUCK = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({tokens_sql('text')}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (
+  SELECT avg(dl) AS avgdl, (SELECT count(*) FROM documents) AS n_docs FROM dl
+),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+qtok AS (
+  SELECT query_id, unnest({tokens_sql('qtext')}) AS term
+  FROM (VALUES {_QVALUES_SQL}) AS q(query_id, qtext)
+),
+qterms AS (
+  SELECT query_id, term, count(*) AS qtf FROM qtok GROUP BY query_id, term
+),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(q.qtf * ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * ({K1} + 1.0)
+             / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl))) AS score,
+         count(*) AS nmatch
+  FROM qterms q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY score DESC, CAST(doc_id AS VARCHAR) ASC
+         ) AS rank
+  FROM scored WHERE nmatch >= {MSM}
+)
+SELECT query_id, CAST(rank AS INT) AS rank, doc_id
+FROM ranked WHERE rank <= {TOPK}
+"""
+
+
+@register("bm25_topk_msm", _BM25_MSM_SQL_DUCK)
+def bm25_topk_msm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum-should-match retrieval (query.retrieve_msm, msm=2): docs
+    with at least 2 distinct query terms rank, by full BM25 — the
+    standard OR/AND middle ground. Unlike the conjunctive entry, q10's
+    OOV token does NOT empty the query (unmatched terms just can't
+    count). The presence count rides the score aggregation's own
+    shuffle. Rank-only compare (float scores), as bm25_topk_engine."""
+    from .operators.indexing import build_index
+    from .operators.query import retrieve_msm
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    idx = build_index(docs, id_col="doc_id", text_col="text")
+    queries = spark.createDataFrame(
+        BM25_QUERIES, "query_id string, text string"
+    )
+    res = retrieve_msm(idx, queries, k=TOPK, msm=MSM)
+    return res.select(
+        "query_id", F.col("rank").cast("int").alias("rank"),
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+    )

@@ -272,6 +272,45 @@ def _exhaustive_scores(
     return partials.groupBy("query_id", "doc_idx").agg(*aggs)
 
 
+def retrieve_msm(
+    index: InvertedIndex,
+    queries: DataFrame,
+    k: int = 10,
+    msm: int = 2,
+    cfg: EngineConfig = DEFAULT,
+) -> DataFrame:
+    """Minimum-should-match retrieval — the standard middle ground
+    between OR (WAND) and implicit AND: a doc ranks iff it contains at
+    least ``msm`` DISTINCT query terms; scores stay the full BM25 sum,
+    tie rule unchanged. OOV query tokens simply can't be matched (they
+    don't kill the query as AND does); ``msm=1`` degenerates to
+    exhaustive OR. The distinct-term count rides the score
+    aggregation's own map-side-combined shuffle — no requirement
+    dimension, no second pass. Same completeness preconditions as the
+    conjunctive path (a pruned index makes term-presence undecidable).
+    """
+    meta = index.meta
+    if float(meta.get("min_weight", 0.0)) > 0.0 or int(
+        meta.get("top_k_terms", 1 << 30)
+    ) < int(meta.get("max_tokens", cfg.max_tokens)):
+        raise ValueError(
+            "retrieve_msm: needs a complete index (min_weight == 0, "
+            "non-binding per-doc term cap) — pruned postings make the "
+            "term-presence count undecidable"
+        )
+    if msm < 1:
+        raise ValueError("retrieve_msm: msm must be >= 1")
+    q_terms = sparsify_query_terms(
+        encode_queries(queries, index.term_dict, cfg, meta), meta
+    )
+    scores = (
+        _exhaustive_scores(index, q_terms, with_counts=True)
+        .filter(F.col("_nterms") >= msm)
+        .select("query_id", "doc_idx", "score")
+    )
+    return _topk(scores, index, k)
+
+
 def retrieve_conjunctive(
     index: InvertedIndex,
     queries: DataFrame,

@@ -109,3 +109,55 @@ def test_conjunctive_rejects_lossy_index(spark):
     with pytest.raises(ValueError, match="top_k_terms"):
         retrieve_conjunctive(idx2, queries)
     idx2.unpersist()
+
+
+def _py_msm_ids(oi, text, msm, k=10):
+    q = {}
+    for t in tokenize_py(text, oi.cfg.max_tokens):
+        if t in oi.cfg.exclude_terms:
+            continue
+        tid = oi.vocab.get(t)
+        if tid is not None:
+            q[tid] = q.get(tid, 0.0) + 1.0
+    scores = np.zeros(oi.n_docs, dtype=np.float64)
+    hits = np.zeros(oi.n_docs, dtype=np.int64)
+    for tid in sorted(q):
+        d, w = oi.postings[tid]
+        scores[d] += np.float32(q[tid]) * w.astype(np.float64)
+        hits[d] += 1
+    cand = np.nonzero(hits >= msm)[0]
+    if cand.size == 0:
+        return []
+    order = np.lexsort((cand, -scores[cand]))[:k]
+    return [oi.doc_ids[int(cand[i])] for i in order]
+
+
+def test_msm_matches_oracle(spark, built):
+    from splade_spark.operators.query import retrieve_msm
+
+    idx, oi = built
+    queries = spark.createDataFrame(QUERIES, "query_id string, text string")
+    for msm in (1, 2, 3):
+        res = retrieve_msm(idx, queries, k=10, msm=msm)
+        got = {}
+        for r in res.collect():
+            got.setdefault(r["query_id"], []).append((r["rank"], r["doc_id"]))
+        for qid in got:
+            got[qid] = [d for _, d in sorted(got[qid])]
+        want = {
+            qid: _py_msm_ids(oi, text, msm)
+            for qid, text in QUERIES
+            if _py_msm_ids(oi, text, msm)
+        }
+        assert got == want, msm
+
+
+def test_msm_oov_does_not_kill_query(spark, built):
+    from splade_spark.operators.query import retrieve_msm
+
+    idx, oi = built
+    queries = spark.createDataFrame(
+        [("q_oov", "hash join nosuchtokenzz")], "query_id string, text string"
+    )
+    res = retrieve_msm(idx, queries, k=10, msm=2).collect()
+    assert res  # conjunctive would return nothing here
