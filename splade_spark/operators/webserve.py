@@ -219,18 +219,47 @@ class ShardedWebServer:
         from .sharding import ShardedServer
 
         self._broker = ShardedServer(index, n_shards=n_shards)
+        self._attach_positional(
+            (t, d, np.asarray(ps, dtype=np.int64))
+            for t, d, ps in positional_rows
+        )
+
+    @classmethod
+    def from_saved(
+        cls,
+        spark,
+        index_dir: str,
+        pos_dir: str,
+        terms: list[str] | None = None,
+    ) -> "ShardedWebServer":
+        """Boot the web broker from a ``save_sharded`` index layout plus
+        a ``save_positional`` layout. Demo path loads the positional
+        table once (optionally vocabulary-pruned) and splits it by each
+        node's doc set; on a fleet each node instead loads only its own
+        doc range's positional files next to its index shard."""
+        from .sharding import ShardedServer
+
+        self = cls.__new__(cls)
+        self._broker = ShardedServer.from_saved(spark, index_dir)
+        store = PositionalStore.from_saved(pos_dir, terms=terms)
+        self._attach_positional(
+            (t, d, ps)
+            for t, m in store.by_term.items()
+            for d, ps in m.items()
+        )
+        return self
+
+    def _attach_positional(self, rows) -> None:
         by_doc_shard: dict[str, int] = {}
         for si, srv in enumerate(self._broker.servers):
             for d in srv.doc_ids:
                 if d is not None:
                     by_doc_shard[d] = si
         slices: list[dict] = [dict() for _ in self._broker.servers]
-        for t, d, ps in positional_rows:
+        for t, d, ps in rows:
             si = by_doc_shard.get(d)
             if si is not None:
-                slices[si].setdefault(t, {})[d] = np.asarray(
-                    ps, dtype=np.int64
-                )
+                slices[si].setdefault(t, {})[d] = ps
         self.nodes = [
             WebQueryServer(srv, PositionalStore(slc))
             for srv, slc in zip(self._broker.servers, slices)

@@ -99,3 +99,19 @@ def test_sharded_web_matches_single(spark, served):
     # OOV query touches no shard at all under routing
     broker.search('"hash join" nosuchtokzz', k=10, route=True)
     assert broker.last_shards_visited == 0
+
+
+def test_sharded_web_from_saved_matches_single(spark, served, tmp_path):
+    from splade_spark.operators.sharding import save_sharded
+    from splade_spark.operators.webserve import ShardedWebServer
+
+    docs, idx, positional, ws = served
+    idx_dir = str(tmp_path / "sharded_idx")
+    pos_dir = str(tmp_path / "pos")
+    save_sharded(idx, idx_dir, n_shards=3)
+    from splade_spark.operators.positional import save_positional
+
+    save_positional(positional, pos_dir, n_partitions=2)
+    broker = ShardedWebServer.from_saved(spark, idx_dir, pos_dir)
+    for qid, raw in WEBQ:
+        assert broker.search(raw, k=10) == ws.search(raw, k=10), qid
