@@ -50,6 +50,7 @@ HEADLINE = [
     "boilerplate_stripped",    # cross-doc chrome-line removal (r4)
     "phrase_match",            # positional-plane exact phrase (r4)
     "bm25_topk_web",           # phrase AND terms composite retrieval (r4)
+    "link_pagerank",           # link-graph power iteration (r4)
     "lineitem_pricing_agg",    # relational agg w/ pushed filter
     "top_orders_per_priority", # per-group top-k window
 ]

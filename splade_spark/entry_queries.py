@@ -4082,3 +4082,163 @@ def bm25_topk_msm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", F.col("rank").cast("int").alias("rank"),
         F.col("doc_id").cast("bigint").alias("doc_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Link-graph family (documents table; synthetic deterministic edges)
+# ---------------------------------------------------------------------------
+
+# Node universe: doc_id < 300 as synthetic page ids; each page's html holds
+# one absolute href, one root-relative href, and two out-of-scope hrefs
+# (path-relative + fragment) that must be dropped. Modular multipliers are
+# coprime-ish picks with no self-link solutions (parity/mod-3 arguments in
+# the entry docstring), so the edge list is exactly 2 rows per page.
+LINK_N = 300
+
+_LINK_HTML_SQL = (
+    "'<html><body><a href=\"https://ex.org/p/' || CAST((3*doc_id+1) % "
+    f"{LINK_N}"
+    " AS VARCHAR) || '\">a</a> <a href = \"/p/' || CAST((7*doc_id+2) % "
+    f"{LINK_N}"
+    " AS VARCHAR) || '\">r</a> <a href=\"skip/me\">s</a>"
+    " <a href=\"#top\">f</a></body></html>'"
+)
+
+_LINK_EXTRACT_SQL_DUCK = f"""
+WITH pages AS (
+  SELECT 'https://ex.org/p/' || CAST(doc_id AS VARCHAR) AS url,
+         {_LINK_HTML_SQL} AS html
+  FROM documents WHERE doc_id < {LINK_N}
+),
+hrefs AS (
+  SELECT url AS src,
+         trim(unnest(regexp_extract_all(html,
+             'href\\s*=\\s*"([^"]*)"', 1))) AS h
+  FROM pages
+),
+resolved AS (
+  SELECT src,
+         CASE WHEN regexp_matches(h, '^https?://') THEN h
+              WHEN h LIKE '/%' AND h NOT LIKE '//%'
+                THEN regexp_extract(src, '^(https?://[^/]+)', 1) || h
+              ELSE NULL END AS dst
+  FROM hrefs
+)
+SELECT DISTINCT src, dst FROM resolved
+WHERE dst IS NOT NULL AND dst <> '' AND dst <> src
+"""
+
+
+@register("link_extraction", _LINK_EXTRACT_SQL_DUCK)
+def link_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web link-graph edge extraction (linkgraph.extract_links): hrefs
+    pulled from the raw html column with regexp_extract_all (S2/F9-style
+    pure Column work, zero shuffle before the edge distinct) and resolved
+    deterministically — absolute http(s) verbatim, root-relative against
+    the page's scheme://host, everything else (path-relative, fragments,
+    mailto, protocol-relative) dropped. Pages here are synthesized from
+    doc_id so the oracle builds byte-identical html: no self-links exist
+    ((3r+1)%N==r and (7r+2)%N==r have no solutions mod 300 by parity /
+    mod-3), so the result is exactly 2 edges per page."""
+    from .operators.linkgraph import extract_links
+
+    n = F.lit(LINK_N)
+    mk = lambda mult, add: (  # noqa: E731
+        F.pmod(F.lit(mult) * F.col("doc_id") + F.lit(add), n).cast("string")
+    )
+    pages = (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") < LINK_N)
+        .select(
+            F.concat(F.lit("https://ex.org/p/"),
+                     F.col("doc_id").cast("string")).alias("url"),
+            F.concat(
+                F.lit('<html><body><a href="https://ex.org/p/'),
+                mk(3, 1),
+                F.lit('">a</a> <a href = "/p/'),
+                mk(7, 2),
+                F.lit('">r</a> <a href="skip/me">s</a>'
+                      ' <a href="#top">f</a></body></html>'),
+            ).alias("html"),
+        )
+    )
+    return extract_links(pages)
+
+
+PR_ITERS = 10
+PR_DAMPING = 0.85
+
+
+def _pagerank_sql() -> str:
+    # fixed-iteration power iteration, unrolled; per-term math written to
+    # match the Spark operator op-for-op (rank/outdeg division, damped sum)
+    # so only f64 summation order differs — absorbed by the nano rounding
+    base = f"(1.0-{PR_DAMPING})/{LINK_N}"
+    iters = []
+    for k in range(1, PR_ITERS + 1):
+        iters.append(f"""pr{k} AS (
+  SELECT n.id, {base} + {PR_DAMPING}*coalesce(s.inflow, 0.0) AS rank
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS id, sum(p.rank / e.outdeg) AS inflow
+    FROM pr{k - 1} p JOIN ew e ON e.src = p.id GROUP BY e.dst
+  ) s ON s.id = n.id
+)""")
+        chain = ",\n".join(iters)
+    return f"""
+WITH nodes AS (SELECT doc_id AS id FROM documents WHERE doc_id < {LINK_N}),
+edges0 AS (
+  SELECT id AS src, (3*id+1) % {LINK_N} AS dst FROM nodes
+  UNION ALL
+  SELECT id AS src, (7*id+2) % {LINK_N} AS dst FROM nodes
+),
+edges AS (SELECT DISTINCT src, dst FROM edges0 WHERE dst <> src),
+deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+ew AS (
+  SELECT e.src, e.dst, d.outdeg FROM edges e JOIN deg d ON d.src = e.src
+),
+pr0 AS (SELECT id, 1.0/{LINK_N} AS rank FROM nodes),
+{chain}
+SELECT CAST(id AS BIGINT) AS doc_id,
+       CAST(round(rank * 1e9) AS BIGINT) AS rank_nano
+FROM pr{PR_ITERS}
+"""
+
+
+@register("link_pagerank", _pagerank_sql())
+def link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over a deterministic synthetic link graph
+    (linkgraph.pagerank): 300 nodes, edges r->(3r+1)%N and r->(7r+2)%N —
+    every node has outdegree >= 1 (no dangling mass term in play; the
+    operator's sink redistribution is pinned separately by
+    test_linkgraph's NumPy mirror), 10 damped power-iteration passes at
+    d=0.85. One hash-partitioned shuffle per pass (rank x edges equi-join
+    on src + map-side-partial per-dst sum); the oracle unrolls the same
+    recurrence as chained CTEs. Ranks emitted as round(rank*1e9) BIGINTs
+    per the registry float convention — f64 sum-order noise is ~1e-13,
+    six orders below the rounding granularity."""
+    from .operators.linkgraph import pagerank
+
+    n = F.lit(LINK_N)
+    nodes = (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") < LINK_N)
+        .select(F.col("doc_id").alias("id"))
+    )
+    edges = (
+        nodes.select(
+            F.col("id").alias("src"),
+            F.pmod(F.lit(3) * F.col("id") + 1, n).alias("dst"),
+        )
+        .unionByName(
+            nodes.select(
+                F.col("id").alias("src"),
+                F.pmod(F.lit(7) * F.col("id") + 2, n).alias("dst"),
+            )
+        )
+        .filter(F.col("dst") != F.col("src"))
+    )
+    pr = pagerank(edges, damping=PR_DAMPING, n_iter=PR_ITERS)
+    return pr.select(
+        F.col("id").cast("bigint").alias("doc_id"),
+        F.round(F.col("rank") * 1e9).cast("bigint").alias("rank_nano"),
+    )

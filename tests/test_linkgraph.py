@@ -1,0 +1,141 @@
+"""Link-graph operators (operators/linkgraph.py): href extraction rules
+and PageRank against a NumPy power-iteration mirror.
+
+The driver-gated `link_extraction` / `link_pagerank` entries pin the
+DuckDB-portable surface; these tests exercise what the entries cannot:
+binary html input, the full URL-resolution rule table, dangling-mass
+redistribution, tolerance-based early exit, and duplicate-edge collapse.
+"""
+
+import numpy as np
+import pytest
+
+from splade_spark.operators.linkgraph import extract_links, pagerank
+
+PAGES = [
+    (
+        "https://a.example/p/1",
+        """<html><body>
+        <a href="https://b.example/x">abs</a>
+        <a href = "/local/2">root-relative</a>
+        <a href="relative/path">dropped: path-relative</a>
+        <a href="#frag">dropped: fragment</a>
+        <a href="mailto:x@y.z">dropped: mailto</a>
+        <a href="//b.example/proto">dropped: protocol-relative</a>
+        <a href="https://a.example/p/1">dropped: self</a>
+        <a href="">dropped: empty</a>
+        <a href="https://b.example/x">duplicate collapses</a>
+        </body></html>""",
+    ),
+    ("https://c.example/q", '<p>no links here</p>'),
+]
+
+
+def _edges(spark, pages, **kw):
+    df = spark.createDataFrame(pages, ["url", "html"])
+    return {
+        (r["src"], r["dst"])
+        for r in extract_links(df, **kw).collect()
+    }
+
+
+def test_extract_links_resolution_rules(spark):
+    got = _edges(spark, PAGES)
+    assert got == {
+        ("https://a.example/p/1", "https://b.example/x"),
+        ("https://a.example/p/1", "https://a.example/local/2"),
+    }
+
+
+def test_extract_links_binary_html_and_keep_self(spark):
+    pages = [
+        (
+            "https://a.example/p",
+            '<a href="/s">x</a><a href="https://a.example/p">self</a>'.encode(),
+        )
+    ]
+    df = spark.createDataFrame(pages, "url string, html binary")
+    got = {
+        (r["src"], r["dst"])
+        for r in extract_links(df, keep_self=True).collect()
+    }
+    assert got == {
+        ("https://a.example/p", "https://a.example/s"),
+        ("https://a.example/p", "https://a.example/p"),
+    }
+
+
+def _np_pagerank(n, edges, d=0.85, iters=40):
+    outdeg = np.zeros(n)
+    for s, _ in edges:
+        outdeg[s] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        nxt = np.full(n, (1.0 - d) / n)
+        dangling = r[outdeg == 0].sum()
+        nxt += d * dangling / n
+        for s, t in edges:
+            nxt[t] += d * r[s] / outdeg[s]
+        r = nxt
+    return r
+
+
+@pytest.fixture(scope="module")
+def random_graph():
+    rng = np.random.default_rng(7)
+    n = 40
+    edges = {
+        (int(rng.integers(n)), int(rng.integers(n))) for _ in range(160)
+    }
+    edges = sorted((s, t) for s, t in edges if s != t)
+    # force several dangling (sink) nodes: strip all out-edges of 0..4
+    edges = [(s, t) for s, t in edges if s >= 5]
+    assert any(t < 5 for _, t in edges)  # sinks still reachable
+    return n, edges
+
+
+def test_pagerank_matches_numpy_mirror_with_dangling(spark, random_graph):
+    _, edges = random_graph
+    # the operator's node universe = ids appearing in the edge list;
+    # reindex the mirror over exactly that set
+    seen = sorted({s for s, _ in edges} | {t for _, t in edges})
+    idx = {v: i for i, v in enumerate(seen)}
+    want = _np_pagerank(
+        len(seen), [(idx[s], idx[t]) for s, t in edges], iters=40
+    )
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got_rows = pagerank(df, n_iter=40).collect()
+    assert {r["id"] for r in got_rows} == set(seen)
+    got = dict((r["id"], r["rank"]) for r in got_rows)
+    for v in seen:
+        assert got[v] == pytest.approx(want[idx[v]], abs=1e-9)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pagerank_duplicate_edges_collapse(spark):
+    once = [(0, 1), (1, 2), (2, 0)]
+    twice = once + once
+    a = pagerank(spark.createDataFrame(once, ["src", "dst"]), n_iter=10)
+    b = pagerank(spark.createDataFrame(twice, ["src", "dst"]), n_iter=10)
+    da = {r["id"]: r["rank"] for r in a.collect()}
+    db = {r["id"]: r["rank"] for r in b.collect()}
+    assert da == db
+
+
+def test_pagerank_tol_early_exit_converges(spark):
+    # ring graph converges to uniform immediately; tol exit must still
+    # return the exact stationary distribution
+    n = 6
+    edges = [(i, (i + 1) % n) for i in range(n)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["id"]: r["rank"] for r in pagerank(df, n_iter=50, tol=1e-12).collect()}
+    for i in range(n):
+        assert got[i] == pytest.approx(1.0 / n, abs=1e-12)
+
+
+def test_pagerank_rejects_bad_params(spark):
+    df = spark.createDataFrame([(0, 1)], ["src", "dst"])
+    with pytest.raises(ValueError):
+        pagerank(df, damping=1.0)
+    with pytest.raises(ValueError):
+        pagerank(df, n_iter=0)
