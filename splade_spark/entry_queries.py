@@ -4169,10 +4169,12 @@ PR_ITERS = 10
 PR_DAMPING = 0.85
 
 
-def _pagerank_sql() -> str:
+def _pagerank_ctes() -> str:
     # fixed-iteration power iteration, unrolled; per-term math written to
     # match the Spark operator op-for-op (rank/outdeg division, damped sum)
-    # so only f64 summation order differs — absorbed by the nano rounding
+    # so only f64 summation order differs — absorbed by the nano rounding.
+    # CTE names (nodes/edges*/deg/ew/pr*) are disjoint from _BM25_BODY's so
+    # the chain also splices into the bm25_topk_prior oracle.
     base = f"(1.0-{PR_DAMPING})/{LINK_N}"
     iters = []
     for k in range(1, PR_ITERS + 1):
@@ -4183,9 +4185,8 @@ def _pagerank_sql() -> str:
     FROM pr{k - 1} p JOIN ew e ON e.src = p.id GROUP BY e.dst
   ) s ON s.id = n.id
 )""")
-        chain = ",\n".join(iters)
-    return f"""
-WITH nodes AS (SELECT doc_id AS id FROM documents WHERE doc_id < {LINK_N}),
+    chain = ",\n".join(iters)
+    return f"""nodes AS (SELECT doc_id AS id FROM documents WHERE doc_id < {LINK_N}),
 edges0 AS (
   SELECT id AS src, (3*id+1) % {LINK_N} AS dst FROM nodes
   UNION ALL
@@ -4197,7 +4198,12 @@ ew AS (
   SELECT e.src, e.dst, d.outdeg FROM edges e JOIN deg d ON d.src = e.src
 ),
 pr0 AS (SELECT id, 1.0/{LINK_N} AS rank FROM nodes),
-{chain}
+{chain}"""
+
+
+def _pagerank_sql() -> str:
+    return f"""
+WITH {_pagerank_ctes()}
 SELECT CAST(id AS BIGINT) AS doc_id,
        CAST(round(rank * 1e9) AS BIGINT) AS rank_nano
 FROM pr{PR_ITERS}
@@ -4216,6 +4222,15 @@ def link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     recurrence as chained CTEs. Ranks emitted as round(rank*1e9) BIGINTs
     per the registry float convention — f64 sum-order noise is ~1e-13,
     six orders below the rounding granularity."""
+    pr = _link_prior(spark, sf_dir)
+    return pr.select(
+        F.col("id").cast("bigint").alias("doc_id"),
+        F.round(F.col("rank") * 1e9).cast("bigint").alias("rank_nano"),
+    )
+
+
+def _link_prior(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(id, rank): PageRank over the deterministic modular graph."""
     from .operators.linkgraph import pagerank
 
     n = F.lit(LINK_N)
@@ -4237,8 +4252,66 @@ def link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("dst") != F.col("src"))
     )
-    pr = pagerank(edges, damping=PR_DAMPING, n_iter=PR_ITERS)
-    return pr.select(
-        F.col("id").cast("bigint").alias("doc_id"),
-        F.round(F.col("rank") * 1e9).cast("bigint").alias("rank_nano"),
+    return pagerank(edges, damping=PR_DAMPING, n_iter=PR_ITERS)
+
+
+PRIOR_BETA = 0.5
+
+_BM25_PRIOR_SQL_DUCK = (
+    _BM25_BODY.replace("{TOK}", tokens_sql("text"))
+    .replace("{QTOK}", tokens_sql("qtext"))
+    .replace("{STR}", "VARCHAR").replace("{UNNEST}", "unnest")
+    + f""",
+{_pagerank_ctes()},
+prior AS (
+  SELECT id AS doc_id,
+         {PRIOR_BETA} * ln(1.0 + rank * {LINK_N}) AS boost
+  FROM pr{PR_ITERS}
+),
+blended AS (
+  SELECT s.query_id, s.doc_id,
+         s.score + coalesce(p.boost, 0.0) AS fscore
+  FROM scored s LEFT JOIN prior p ON p.doc_id = s.doc_id
+),
+branked AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY fscore DESC, CAST(doc_id AS VARCHAR) ASC
+         ) AS rank
+  FROM blended
+)
+SELECT query_id, CAST(rank AS INT) AS rank, doc_id
+FROM branked WHERE rank <= {TOPK}
+"""
+)
+
+
+@register("bm25_topk_prior", _BM25_PRIOR_SQL_DUCK)
+def bm25_topk_prior(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Authority-blended retrieval (query.retrieve_with_prior): the
+    link_pagerank prior joins the aggregated BM25 candidates on the int
+    doc_idx key AFTER the single score shuffle, and
+    final = bm25 + 0.5 * ln(1 + rank * n_prior) reranks BEFORE the
+    top-k cut — the classic web static-rank x lexical composite. Docs
+    outside the 300-node graph get zero boost. Rank-only compare (float
+    scores), as bm25_topk_engine; the oracle splices the unrolled
+    PageRank CTE chain into the shared BM25 body."""
+    from .operators.indexing import build_index
+    from .operators.query import retrieve_with_prior
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    idx = build_index(docs, id_col="doc_id", text_col="text")
+    queries = spark.createDataFrame(
+        BM25_QUERIES, "query_id string, text string"
+    )
+    priors = _link_prior(spark, sf_dir).select(
+        F.col("id").alias("doc_id"), F.col("rank").alias("prior")
+    )
+    res = retrieve_with_prior(
+        idx, queries, priors, k=TOPK, beta=PRIOR_BETA
+    )
+    return res.select(
+        "query_id", F.col("rank").cast("int").alias("rank"),
+        F.col("doc_id").cast("bigint").alias("doc_id"),
     )

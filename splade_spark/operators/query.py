@@ -840,3 +840,60 @@ def retrieve(
     if strategy == "local":
         return score_local(index, q_terms, k)
     return score_exhaustive(index, q_terms, k)
+
+
+def retrieve_with_prior(
+    index: InvertedIndex,
+    queries: DataFrame,
+    priors: DataFrame,
+    *,
+    k: int = 10,
+    beta: float = 1.0,
+    cfg: EngineConfig = DEFAULT,
+    id_col: str = "doc_id",
+    prior_col: str = "prior",
+) -> DataFrame:
+    """Top-k with a query-independent authority prior blended into the
+    lexical score BEFORE the cut — the classic web-ranking composite
+    (BM25 x static rank, e.g. ``linkgraph.pagerank`` output)::
+
+        final(q, d) = bm25(q, d) + beta * ln(1 + prior(d) * n_prior)
+
+    ``prior(d) * n_prior`` centers a normalized prior (ranks summing
+    to 1 over ``n_prior`` docs) at 1, so a uniform-prior doc gets the
+    same constant boost everywhere and the blend is pure when the graph
+    is uninformative; docs absent from ``priors`` (not in the link
+    graph) get zero boost. ``beta`` trades lexical vs authority mass.
+
+    Scale shape: the prior table is doc-sized and static — it maps to
+    the int ``doc_idx`` key through ``doc_dim`` once (hash equi-join),
+    then joins the aggregated candidate table (query-results-sized, far
+    smaller than postings) as a broadcast/left join AFTER the single
+    map-side-combined score shuffle. ``n_prior`` is one count() on the
+    static table — metadata-cheap on parquet and amortized across every
+    query set served from the same prior snapshot. The blend itself is
+    pure Column arithmetic; the top-k window is unchanged.
+    """
+    meta = index.meta
+    q_terms = sparsify_query_terms(
+        encode_queries(queries, index.term_dict, cfg, meta), meta
+    )
+    scores = _exhaustive_scores(index, q_terms)
+    n_prior = priors.count()
+    boost = priors.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        (
+            F.lit(float(beta))
+            * F.log1p(F.col(prior_col).cast("double") * F.lit(float(n_prior)))
+        ).alias("_boost"),
+    )
+    bidx = index.doc_dim.join(boost, "doc_id").select("doc_idx", "_boost")
+    blended = scores.join(bidx, "doc_idx", "left").select(
+        "query_id",
+        "doc_idx",
+        (
+            F.col("score").cast("double")
+            + F.coalesce("_boost", F.lit(0.0))
+        ).alias("score"),
+    )
+    return _topk(blended, index, k)

@@ -139,3 +139,59 @@ def test_pagerank_rejects_bad_params(spark):
         pagerank(df, damping=1.0)
     with pytest.raises(ValueError):
         pagerank(df, n_iter=0)
+
+
+# --- authority-prior blending (query.retrieve_with_prior) -----------------
+
+CORPUS = [
+    ("a", "spark shuffle partition join"),
+    ("b", "spark shuffle partition join"),   # lexical twin of a
+    ("c", "unrelated text about gardening"),
+    ("d", "spark only"),
+]
+
+
+@pytest.fixture(scope="module")
+def prior_index(spark):
+    from splade_spark.operators.indexing import build_index
+
+    docs = spark.createDataFrame(CORPUS, ["doc_id", "text"])
+    return build_index(docs, id_col="doc_id", text_col="text")
+
+
+def test_prior_beta_zero_equals_plain_retrieve(spark, prior_index):
+    from splade_spark.operators.query import retrieve, retrieve_with_prior
+
+    qs = spark.createDataFrame([("q1", "spark shuffle")], ["query_id", "text"])
+    priors = spark.createDataFrame(
+        [("a", 0.1), ("b", 0.9)], ["doc_id", "prior"]
+    )
+    plain = [
+        (r["rank"], r["doc_id"])
+        for r in retrieve(prior_index, qs, k=4).collect()
+    ]
+    blended = [
+        (r["rank"], r["doc_id"])
+        for r in retrieve_with_prior(
+            prior_index, qs, priors, k=4, beta=0.0
+        ).collect()
+    ]
+    assert sorted(plain) == sorted(blended)
+
+
+def test_prior_flips_lexical_tie_and_zero_boost_for_absent(spark, prior_index):
+    from splade_spark.operators.query import retrieve_with_prior
+
+    qs = spark.createDataFrame([("q1", "spark shuffle")], ["query_id", "text"])
+    # a and b are lexical twins; tie-break alone ranks a first. A heavier
+    # prior on b must flip the order; c/d absent from priors -> zero boost.
+    priors = spark.createDataFrame(
+        [("a", 0.1), ("b", 0.9)], ["doc_id", "prior"]
+    )
+    got = {
+        r["rank"]: r["doc_id"]
+        for r in retrieve_with_prior(
+            prior_index, qs, priors, k=4, beta=1.0
+        ).collect()
+    }
+    assert got[1] == "b" and got[2] == "a"
