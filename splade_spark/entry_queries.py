@@ -4315,3 +4315,100 @@ def bm25_topk_prior(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", F.col("rank").cast("int").alias("rank"),
         F.col("doc_id").cast("bigint").alias("doc_id"),
     )
+
+
+ANCHOR_N = 200
+ANCHOR_W = 2
+
+_ANCHOR_HTML_SQL = (
+    "'<html><body><a href=\"/p/' || CAST((3*doc_id+1) % "
+    f"{ANCHOR_N}"
+    " AS VARCHAR) || '\">alpha' || CAST(doc_id % 7 AS VARCHAR) ||"
+    " '</a> <a href=\"/p/' || CAST((7*doc_id+2) % "
+    f"{ANCHOR_N}"
+    " AS VARCHAR) || '\">beta' || CAST(doc_id % 5 AS VARCHAR) ||"
+    " '</a> <a href=\"rel/x\">dropme</a></body></html>'"
+)
+
+_ANCHOR_SQL_DUCK = f"""
+WITH pages AS (
+  SELECT doc_id,
+         'https://ex.org/p/' || CAST(doc_id AS VARCHAR) AS url,
+         {_ANCHOR_HTML_SQL} AS html,
+         text
+  FROM documents WHERE doc_id < {ANCHOR_N}
+),
+tags AS (
+  SELECT url AS src,
+         unnest(regexp_extract_all(html,
+             '<a\\s[^>]*href\\s*=\\s*"[^"]*"[^>]*>[^<]*</a>', 0)) AS tag
+  FROM pages
+),
+anch AS (
+  SELECT src,
+         CASE WHEN regexp_matches(h, '^https?://') THEN h
+              WHEN h LIKE '/%' AND h NOT LIKE '//%'
+                THEN regexp_extract(src, '^(https?://[^/]+)', 1) || h
+              ELSE NULL END AS dst,
+         trim(regexp_extract(tag, '>([^<]*)</a>', 1)) AS anchor
+  FROM (SELECT src, tag,
+               trim(regexp_extract(tag, 'href\\s*=\\s*"([^"]*)"', 1)) AS h
+        FROM tags)
+),
+ok AS (
+  SELECT * FROM anch
+  WHERE dst IS NOT NULL AND dst <> '' AND dst <> src AND anchor <> ''
+),
+agg AS (
+  SELECT dst AS url, string_agg(anchor, ' ' ORDER BY anchor) AS atext
+  FROM ok GROUP BY dst
+)
+SELECT p.doc_id,
+       CASE WHEN a.atext IS NOT NULL
+            THEN p.text || repeat(' ' || a.atext, {ANCHOR_W})
+            ELSE p.text END AS text
+FROM pages p LEFT JOIN agg a ON a.url = p.url
+"""
+
+
+@register("anchor_text_enrich", _ANCHOR_SQL_DUCK)
+def anchor_text_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text enrichment (linkgraph.extract_anchors +
+    enrich_with_anchor_text): every link's inner text appends to its
+    TARGET document — the web-search semantics that lets a page rank for
+    how the web describes it. Pages synthesized from doc_id carry two
+    deterministic root-relative anchors plus one unresolvable one
+    (dropped); r=33,133 self-link and lose that anchor (dst==src filter,
+    both engines). Incoming anchors sort lexicographically, join on
+    single spaces, and the block repeats weight=2 times (integer field
+    boost); docs nothing links to pass through byte-identical.
+    Extraction is pure Column work on the corpus scan; enrichment is one
+    map-side-combined groupBy on the target URL + one equi-join back."""
+    from .operators.linkgraph import enrich_with_anchor_text, extract_anchors
+
+    n = F.lit(ANCHOR_N)
+    mk = lambda mult, add: (  # noqa: E731
+        F.pmod(F.lit(mult) * F.col("doc_id") + F.lit(add), n).cast("string")
+    )
+    pages = (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") < ANCHOR_N)
+        .select(
+            "doc_id",
+            F.concat(F.lit("https://ex.org/p/"),
+                     F.col("doc_id").cast("string")).alias("url"),
+            F.concat(
+                F.lit('<html><body><a href="/p/'), mk(3, 1),
+                F.lit('">alpha'), (F.col("doc_id") % 7).cast("string"),
+                F.lit('</a> <a href="/p/'), mk(7, 2),
+                F.lit('">beta'), (F.col("doc_id") % 5).cast("string"),
+                F.lit('</a> <a href="rel/x">dropme</a></body></html>'),
+            ).alias("html"),
+            "text",
+        )
+    )
+    anchors = extract_anchors(pages)
+    enriched = enrich_with_anchor_text(
+        pages.select("doc_id", "url", "text"), anchors, weight=ANCHOR_W
+    )
+    return enriched.select("doc_id", "text")

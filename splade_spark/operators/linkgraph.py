@@ -206,3 +206,89 @@ def pagerank(
         else:
             ranks = new_ranks
     return ranks.select("id", "rank")
+
+
+# full <a ...>inner</a> elements with a double-quoted href and text-only
+# body; RE2-safe and byte-identical in DuckDB
+ANCHOR_TAG_RE = r'<a\s[^>]*href\s*=\s*"[^"]*"[^>]*>[^<]*</a>'
+ANCHOR_TEXT_RE = r">([^<]*)</a>"
+
+
+def extract_anchors(
+    pages: DataFrame,
+    *,
+    url_col: str = "url",
+    html_col: str = "html",
+) -> DataFrame:
+    """Anchor edges ``(src, dst, anchor)`` — the inner text of every link.
+
+    Unlike :func:`extract_links` this keeps duplicates: the same anchor
+    text repeated across many source pages is the signal (anchor-text
+    frequency is how link context ranks a target for terms the target
+    itself never says). URL resolution matches ``extract_links``
+    (absolute / root-relative only); anchors with empty inner text are
+    dropped. Pure Column work — one projection, zero shuffle.
+    """
+    html_str = F.col(html_col).cast("string")
+    tag = F.explode(F.regexp_extract_all(html_str, F.lit(ANCHOR_TAG_RE), 0))
+    return (
+        pages.select(F.col(url_col).alias("src"), tag.alias("_tag"))
+        .select(
+            "src",
+            resolve_href(
+                F.regexp_extract("_tag", HREF_RE, 1), F.col("src")
+            ).alias("dst"),
+            F.trim(F.regexp_extract("_tag", ANCHOR_TEXT_RE, 1)).alias(
+                "anchor"
+            ),
+        )
+        .filter(
+            F.col("dst").isNotNull()
+            & (F.col("dst") != "")
+            & (F.col("dst") != F.col("src"))
+            & (F.col("anchor") != "")
+        )
+    )
+
+
+def enrich_with_anchor_text(
+    docs: DataFrame,
+    anchors: DataFrame,
+    *,
+    url_col: str = "url",
+    text_col: str = "text",
+    weight: int = 1,
+) -> DataFrame:
+    """Append incoming anchor text to each target document's text field —
+    the classic anchor-text enrichment (targets rank for how the web
+    DESCRIBES them, not just what they say). Returns ``docs`` with
+    ``text_col`` rewritten; docs nothing links to pass through unchanged.
+
+    Deterministic composition: incoming anchors sort lexicographically,
+    join on single spaces, and the whole block repeats ``weight`` times
+    (an integer field boost — BM25 tf saturates it exactly like any
+    repeated term). Feed the result straight to ``build_index``.
+
+    Scale shape: one groupBy on the target URL (map-side combine over
+    the anchor stream — the same magnitude as the edge list), then one
+    hash equi-join back to the corpus on the URL key. No per-row Python.
+    """
+    if weight < 1:
+        raise ValueError("weight must be >= 1")
+    agg = (
+        anchors.groupBy(F.col("dst").alias(url_col))
+        .agg(
+            F.array_join(
+                F.sort_array(F.collect_list("anchor")), " "
+            ).alias("_atext")
+        )
+    )
+    joined = docs.join(agg, url_col, "left")
+    enriched = F.when(
+        F.col("_atext").isNotNull(),
+        F.concat(
+            F.col(text_col),
+            F.repeat(F.concat(F.lit(" "), F.col("_atext")), weight),
+        ),
+    ).otherwise(F.col(text_col))
+    return joined.withColumn(text_col, enriched).drop("_atext")

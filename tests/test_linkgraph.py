@@ -195,3 +195,75 @@ def test_prior_flips_lexical_tie_and_zero_boost_for_absent(spark, prior_index):
         ).collect()
     }
     assert got[1] == "b" and got[2] == "a"
+
+
+# --- anchor text (extract_anchors / enrich_with_anchor_text) ---------------
+
+def test_extract_anchors_keeps_duplicates_drops_empty(spark):
+    from splade_spark.operators.linkgraph import extract_anchors
+
+    pages = [
+        (
+            "https://a.example/p",
+            '<a href="/t">great page</a>'
+            '<a href="https://b.example/x">great page</a>'
+            '<a href="/t"></a>'           # empty anchor dropped
+            '<a href="rel/x">nope</a>',   # unresolvable dropped
+        ),
+        (
+            "https://c.example/q",
+            '<a href="https://a.example/t">great page</a>',
+        ),
+    ]
+    df = spark.createDataFrame(pages, ["url", "html"])
+    got = sorted(
+        (r["src"], r["dst"], r["anchor"])
+        for r in extract_anchors(df).collect()
+    )
+    assert got == [
+        ("https://a.example/p", "https://a.example/t", "great page"),
+        ("https://a.example/p", "https://b.example/x", "great page"),
+        ("https://c.example/q", "https://a.example/t", "great page"),
+    ]
+
+
+def test_enrich_with_anchor_text_and_retrieval(spark):
+    from splade_spark.operators.indexing import build_index
+    from splade_spark.operators.linkgraph import enrich_with_anchor_text
+    from splade_spark.operators.query import retrieve
+
+    docs = spark.createDataFrame(
+        [
+            ("https://s/a", "a", "nothing relevant here"),
+            ("https://s/b", "b", "other content entirely"),
+        ],
+        ["url", "doc_id", "text"],
+    )
+    anchors = spark.createDataFrame(
+        [
+            ("https://s/x", "https://s/a", "zebra manual"),
+            ("https://s/y", "https://s/a", "best zebra guide"),
+        ],
+        ["src", "dst", "anchor"],
+    )
+    enriched = enrich_with_anchor_text(docs, anchors, weight=2)
+    texts = {r["doc_id"]: r["text"] for r in enriched.collect()}
+    block = "best zebra guide zebra manual"   # sorted anchors
+    assert texts["a"] == "nothing relevant here" + (" " + block) * 2
+    assert texts["b"] == "other content entirely"   # untouched
+    # the target now ranks for a term it never says
+    idx = build_index(
+        enriched.select("doc_id", "text"), id_col="doc_id", text_col="text"
+    )
+    qs = spark.createDataFrame([("q", "zebra")], ["query_id", "text"])
+    top = retrieve(idx, qs, k=1).collect()
+    assert top[0]["doc_id"] == "a"
+
+
+def test_enrich_rejects_bad_weight(spark):
+    from splade_spark.operators.linkgraph import enrich_with_anchor_text
+
+    docs = spark.createDataFrame([("u", "t")], ["url", "text"])
+    anchors = spark.createDataFrame([("s", "u", "a")], ["src", "dst", "anchor"])
+    with pytest.raises(ValueError):
+        enrich_with_anchor_text(docs, anchors, weight=0)
