@@ -4412,3 +4412,67 @@ def anchor_text_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         pages.select("doc_id", "url", "text"), anchors, weight=ANCHOR_W
     )
     return enriched.select("doc_id", "text")
+
+
+DIVERSE_OVERFETCH = 50
+DIVERSE_PER_GROUP = 2
+DIVERSE_K = 10
+
+_BM25_DIVERSE_SQL_DUCK = (
+    _BM25_BODY.replace("{TOK}", tokens_sql("text"))
+    .replace("{QTOK}", tokens_sql("qtext"))
+    .replace("{STR}", "VARCHAR").replace("{UNNEST}", "unnest")
+    + f""",
+overfetch AS (
+  SELECT query_id, rank, doc_id FROM ranked WHERE rank <= {DIVERSE_OVERFETCH}
+),
+grp AS (
+  SELECT o.query_id, o.rank, o.doc_id, d.source
+  FROM overfetch o JOIN documents d ON d.doc_id = o.doc_id
+),
+kept AS (
+  SELECT query_id, rank, doc_id,
+         row_number() OVER (
+           PARTITION BY query_id, source ORDER BY rank
+         ) AS gr
+  FROM grp
+),
+rer AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY rank) AS rank
+  FROM kept WHERE gr <= {DIVERSE_PER_GROUP}
+)
+SELECT query_id, CAST(rank AS INT) AS rank, doc_id
+FROM rer WHERE rank <= {DIVERSE_K}
+"""
+)
+
+
+@register("bm25_topk_diverse", _BM25_DIVERSE_SQL_DUCK)
+def bm25_topk_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SERP diversification (query.collapse_by_group): overfetch the
+    engine's BM25 top-50, keep at most 2 results per source group
+    (documents.source stands in for the host key), densely re-rank the
+    survivors and cut to 10 — the standard web-results "site collapse".
+    The group map joins the query-results-sized table with a broadcast
+    hash join; both window passes partition by (query, group) / query.
+    Docs absent from the map form singleton groups (collapse can only
+    relax, never drop). Rank-only compare, as bm25_topk_engine."""
+    from .operators.indexing import build_index
+    from .operators.query import collapse_by_group, retrieve
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    idx = build_index(docs, id_col="doc_id", text_col="text")
+    queries = spark.createDataFrame(
+        BM25_QUERIES, "query_id string, text string"
+    )
+    res = retrieve(idx, queries, k=DIVERSE_OVERFETCH)
+    groups = _docs(spark, sf_dir).select("doc_id", "source")
+    out = collapse_by_group(
+        res, groups,
+        max_per_group=DIVERSE_PER_GROUP, k=DIVERSE_K, group_col="source",
+    )
+    return out.select(
+        "query_id", F.col("rank").cast("int").alias("rank"),
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+    )

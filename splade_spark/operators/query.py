@@ -897,3 +897,58 @@ def retrieve_with_prior(
         ).alias("score"),
     )
     return _topk(blended, index, k)
+
+
+def collapse_by_group(
+    results: DataFrame,
+    doc_groups: DataFrame,
+    *,
+    max_per_group: int = 2,
+    k: int | None = None,
+    id_col: str = "doc_id",
+    group_col: str = "group",
+) -> DataFrame:
+    """SERP diversification — the "max h results per site" rule: keep the
+    best ``max_per_group`` results per (query, group), then re-rank the
+    survivors densely and optionally cut to ``k``.
+
+    ``doc_groups`` maps ``id_col`` to a ``group_col`` (host, domain,
+    source feed, dedup cluster id, …); docs missing from the map form
+    singleton groups of themselves, so an incomplete map can only relax
+    the collapse, never drop a result. Both passes preserve the incoming
+    rank order (rank is unique per query), so the output is deterministic
+    given the input ranking.
+
+    Scale shape: results are query-results-sized (k rows per query, far
+    smaller than the corpus); the group map joins them with a hash
+    equi-join (broadcast while it fits), and the two window passes
+    partition by (query, group) then by query — tiny partitions by
+    construction. Run retrieval with a deeper k than the final page so
+    the collapse has material to promote (the standard overfetch).
+    """
+    if max_per_group < 1:
+        raise ValueError("max_per_group must be >= 1")
+    g = doc_groups.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        F.col(group_col).cast("string").alias("_grp"),
+    )
+    joined = results.withColumn(
+        "doc_id", F.col("doc_id").cast("string")
+    ).join(g, "doc_id", "left").withColumn(
+        "_grp", F.coalesce("_grp", F.concat(F.lit("\x00self:"), "doc_id"))
+    )
+    w_grp = Window.partitionBy("query_id", "_grp").orderBy("rank")
+    w_q = Window.partitionBy("query_id").orderBy("rank")
+    out = (
+        joined.withColumn("_gr", F.row_number().over(w_grp))
+        .filter(F.col("_gr") <= max_per_group)
+        .withColumn("new_rank", F.row_number().over(w_q))
+        .drop("_grp", "_gr", "rank")
+        .withColumnRenamed("new_rank", "rank")
+    )
+    if k is not None:
+        out = out.filter(F.col("rank") <= k)
+    return out.select(
+        "query_id", "rank", *[c for c in results.columns
+                              if c not in ("query_id", "rank")]
+    )

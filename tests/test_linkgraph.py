@@ -267,3 +267,43 @@ def test_enrich_rejects_bad_weight(spark):
     anchors = spark.createDataFrame([("s", "u", "a")], ["src", "dst", "anchor"])
     with pytest.raises(ValueError):
         enrich_with_anchor_text(docs, anchors, weight=0)
+
+
+# --- SERP diversification (query.collapse_by_group) ------------------------
+
+def test_collapse_by_group_promotes_and_reranks(spark):
+    from splade_spark.operators.query import collapse_by_group
+
+    results = spark.createDataFrame(
+        [("q", r, f"d{r}", 10.0 - r) for r in range(1, 7)],
+        ["query_id", "rank", "doc_id", "score"],
+    )
+    groups = spark.createDataFrame(
+        # d1,d2,d3 same host; d4 other; d5,d6 unmapped -> singletons
+        [("d1", "h1"), ("d2", "h1"), ("d3", "h1"), ("d4", "h2")],
+        ["doc_id", "group"],
+    )
+    got = [
+        (r["rank"], r["doc_id"])
+        for r in collapse_by_group(
+            results, groups, max_per_group=2
+        ).orderBy("rank").collect()
+    ]
+    # d3 (third hit of h1) drops; everyone below promotes one slot
+    assert got == [(1, "d1"), (2, "d2"), (3, "d4"), (4, "d5"), (5, "d6")]
+
+
+def test_collapse_by_group_k_cut_and_guard(spark):
+    from splade_spark.operators.query import collapse_by_group
+
+    results = spark.createDataFrame(
+        [("q", r, f"d{r}", 1.0) for r in range(1, 5)],
+        ["query_id", "rank", "doc_id", "score"],
+    )
+    groups = spark.createDataFrame([("d1", "g")], ["doc_id", "group"])
+    got = collapse_by_group(results, groups, max_per_group=1, k=2).collect()
+    assert sorted((r["rank"], r["doc_id"]) for r in got) == [
+        (1, "d1"), (2, "d2")
+    ]
+    with pytest.raises(ValueError):
+        collapse_by_group(results, groups, max_per_group=0)
