@@ -4476,3 +4476,86 @@ def bm25_topk_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", F.col("rank").cast("int").alias("rank"),
         F.col("doc_id").cast("bigint").alias("doc_id"),
     )
+
+
+MISSPELLED = [
+    ("m1", "strategi"),
+    ("m2", "partitoin"),
+    ("m3", "custmer"),
+    ("m4", "windoww"),
+    ("m5", "qery"),
+]
+
+_MISSPELL_VALUES_SQL = ", ".join(
+    f"('{qid}', '{t}')" for qid, t in MISSPELLED
+)
+
+_SPELL_SQL_DUCK = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({tokens_sql('text')}) AS term FROM documents
+),
+tf AS (SELECT DISTINCT doc_id, term FROM tok),
+dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+vg0 AS (
+  SELECT term, df,
+         list_distinct(list_transform(
+           generate_series(1, length(term) - 2),
+           i -> substr(term, i, 3))) AS g
+  FROM dfr
+),
+vg AS (SELECT term, df, len(g) AS nv, unnest(g) AS gram FROM vg0),
+q0 AS (
+  SELECT qterm,
+         list_distinct(list_transform(
+           generate_series(1, length(qterm) - 2),
+           i -> substr(qterm, i, 3))) AS g
+  FROM (VALUES {_MISSPELL_VALUES_SQL}) AS m(qid, qterm)
+),
+qg AS (SELECT qterm, len(g) AS nq, unnest(g) AS gram FROM q0),
+sh AS (
+  SELECT qterm, nq, term, df, nv, count(*) AS shared
+  FROM qg JOIN vg USING (gram)
+  GROUP BY qterm, nq, term, df, nv
+),
+sc AS (
+  SELECT qterm, term, df,
+         CAST(shared AS DOUBLE) / (nq + nv - shared) AS j
+  FROM sh
+),
+rk AS (
+  SELECT qterm, term AS suggestion, df, j,
+         row_number() OVER (
+           PARTITION BY qterm ORDER BY j DESC, df DESC, term ASC
+         ) AS rank
+  FROM sc
+)
+SELECT qterm, CAST(rank AS INT) AS rank, suggestion,
+       CAST(df AS BIGINT) AS df,
+       CAST(round(j * 1000) AS BIGINT) AS jacc_milli
+FROM rk WHERE rank <= 3
+"""
+
+
+@register("spell_suggest", _SPELL_SQL_DUCK)
+def spell_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query spell suggestion (spell.term_suggestions): misspelled terms
+    meet the index term dictionary in a char-trigram-bucketed equi-join
+    (never a cross join against the vocabulary), score by distinct-gram
+    Jaccard with document frequency as tie-break, keep the top 3 per
+    term. The dictionary comes from the engine's own build_index; the
+    oracle recomputes df from the corpus and mirrors the gram algebra
+    with list_transform/list_distinct. Jaccard is an exact integer ratio
+    evaluated identically in f64 on both engines, so ordering AND the
+    milli-rounded value pin bit-for-bit."""
+    from .operators.indexing import build_index
+    from .operators.spell import term_suggestions
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    idx = build_index(docs, id_col="doc_id", text_col="text")
+    terms = spark.createDataFrame(MISSPELLED, "qid string, qterm string")
+    out = term_suggestions(idx.term_dict, terms, topn=3)
+    return out.select(
+        "qterm", F.col("rank").cast("int").alias("rank"), "suggestion",
+        F.col("df").cast("bigint").alias("df"),
+        F.round(F.col("jaccard") * 1000).cast("bigint").alias("jacc_milli"),
+    )
