@@ -70,8 +70,11 @@ def term_suggestions(
         char_ngrams(F.col(term_col).cast("string"), n).alias("_qg"),
     ).withColumn("_nq", F.size("_qg"))
     qg = q.select("qterm", "_nq", F.explode("_qg").alias("_g"))
+    # the query side is tiny by contract (a query batch's distinct terms):
+    # broadcasting it keeps the dictionary-gram side entirely shuffle-free
+    # up to the shared-count aggregation
     shared = (
-        qg.join(vg, "_g")
+        F.broadcast(qg).join(vg, "_g")
         .groupBy("qterm", "_nq", "term", "df", "_nv")
         .agg(F.count(F.lit(1)).alias("_shared"))
     )
