@@ -4559,3 +4559,81 @@ def spell_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("df").cast("bigint").alias("df"),
         F.round(F.col("jaccard") * 1000).cast("bigint").alias("jacc_milli"),
     )
+
+
+SYNONYMS = [
+    ("fast", "quick"),
+    ("query", "scan"),
+    ("merge", "join"),
+    ("customer", "client"),
+]
+SYN_WEIGHT = 0.6
+
+_SYN_VALUES_SQL = ", ".join(f"('{a}', '{b}')" for a, b in SYNONYMS)
+
+_BM25_SYN_SQL_DUCK = (
+    _BM25_BODY.replace("{TOK}", tokens_sql("text"))
+    .replace("{QTOK}", tokens_sql("qtext"))
+    .replace("{STR}", "VARCHAR").replace("{UNNEST}", "unnest")
+    + f""",
+qex AS (
+  SELECT query_id, term, CAST(qtf AS DOUBLE) AS w FROM qterms
+  UNION ALL
+  SELECT q.query_id, s.syn AS term, q.qtf * {SYN_WEIGHT} AS w
+  FROM qterms q
+  JOIN (VALUES {_SYN_VALUES_SQL}) AS s(term, syn) ON s.term = q.term
+),
+qwt AS (SELECT query_id, term, sum(w) AS qw FROM qex GROUP BY query_id, term),
+scored2 AS (
+  SELECT w.query_id, tf.doc_id,
+         sum(w.qw * ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * ({K1} + 1.0)
+             / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl))) AS score
+  FROM qwt w
+  JOIN tf ON tf.term = w.term
+  JOIN df ON df.term = w.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY w.query_id, tf.doc_id
+),
+ranked2 AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY score DESC, CAST(doc_id AS VARCHAR) ASC
+         ) AS rank
+  FROM scored2
+)
+SELECT query_id, CAST(rank AS INT) AS rank, doc_id
+FROM ranked2 WHERE rank <= {TOPK}
+"""
+)
+
+
+@register("bm25_topk_synonyms", _BM25_SYN_SQL_DUCK)
+def bm25_topk_synonyms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-time synonym expansion (query.expand_queries_with_synonyms
+    feeding the external-weights retrieval path): each query term adds
+    its synonyms at 0.6x weight, contributions to the same term sum, and
+    retrieval runs the weighted accumulation (encode_queries_weighted —
+    the same q_w·d_w path neural expansion uses, W3 sparsify included).
+    OOV synonyms vanish at the dictionary join on both engines. The
+    expansion never touches postings — it is query-side-only Column work
+    over a broadcast map. Rank-only compare, as bm25_topk_engine."""
+    from .operators.indexing import build_index
+    from .operators.query import expand_queries_with_synonyms, retrieve
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    idx = build_index(docs, id_col="doc_id", text_col="text")
+    queries = spark.createDataFrame(
+        BM25_QUERIES, "query_id string, text string"
+    )
+    syn = spark.createDataFrame(SYNONYMS, "term string, syn string")
+    expanded = expand_queries_with_synonyms(
+        queries, syn, syn_weight=SYN_WEIGHT
+    )
+    res = retrieve(idx, queries, k=TOPK, query_weights=expanded)
+    return res.select(
+        "query_id", F.col("rank").cast("int").alias("rank"),
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+    )

@@ -952,3 +952,54 @@ def collapse_by_group(
         "query_id", "rank", *[c for c in results.columns
                               if c not in ("query_id", "rank")]
     )
+
+
+def expand_queries_with_synonyms(
+    queries: DataFrame,
+    synonyms: DataFrame,
+    *,
+    cfg: EngineConfig = DEFAULT,
+    syn_weight: float = 0.6,
+) -> DataFrame:
+    """Query-time synonym OR-expansion: ``(query_id, term, weight)`` ready
+    for :func:`retrieve`'s ``query_weights`` path.
+
+    The query bag (the index's own tokenizer, term counts as base
+    weights) unions one row per (query term → synonym) at
+    ``syn_weight`` x the source term's count; the same term reached from
+    several sources sums its contributions (order-free f64 sum, cast to
+    f32 once inside ``encode_queries_weighted``). Synonyms the corpus
+    never says simply vanish at the dictionary join — expansion can add
+    recall, never noise terms the index cannot score.
+
+    ``synonyms`` is a (term, syn) DataFrame — direction matters (add
+    ``syn`` when ``term`` occurs); symmetric vocabularies just list both
+    directions. The map is vocabulary-sized at most: it broadcasts, and
+    the whole expansion stays on the tiny query side — nothing touches
+    postings until retrieval itself.
+    """
+    from splade_spark.functions.tokenize import tokens_col
+
+    base = (
+        queries.select(
+            F.col("query_id").cast("string").alias("query_id"),
+            F.explode(tokens_col("text", cfg.max_tokens)).alias("term"),
+        )
+        .groupBy("query_id", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("_qtf"))
+    )
+    syn = (
+        base.join(
+            F.broadcast(synonyms.select("term", "syn")), "term"
+        )
+        .select(
+            "query_id", F.col("syn").alias("term"),
+            (F.col("_qtf") * F.lit(float(syn_weight))).alias("_w"),
+        )
+    )
+    return (
+        base.select("query_id", "term", F.col("_qtf").alias("_w"))
+        .unionByName(syn)
+        .groupBy("query_id", "term")
+        .agg(F.sum("_w").alias("weight"))
+    )

@@ -59,3 +59,50 @@ def test_term_suggestions_df_tiebreak_and_min_jaccard(spark):
 def test_term_suggestions_short_query_no_rows(spark):
     terms = spark.createDataFrame([("ab",)], ["qterm"])
     assert term_suggestions(_dict(spark), terms).count() == 0
+
+
+# --- synonym expansion (query.expand_queries_with_synonyms) ---------------
+
+def test_synonym_expansion_weights_and_direction(spark):
+    from splade_spark.operators.query import expand_queries_with_synonyms
+
+    qs = spark.createDataFrame(
+        [("q1", "fast fast join")], ["query_id", "text"]
+    )
+    syn = spark.createDataFrame(
+        # directional: fast->quick, join->merge, quick->NOTHING
+        [("fast", "quick"), ("join", "merge"), ("join", "fast")],
+        ["term", "syn"],
+    )
+    got = {
+        (r["query_id"], r["term"]): r["weight"]
+        for r in expand_queries_with_synonyms(qs, syn, syn_weight=0.5)
+        .collect()
+    }
+    # fast: base 2 + 0.5 from join->fast; quick: 0.5*2; merge: 0.5*1
+    assert got[("q1", "fast")] == pytest.approx(2.5)
+    assert got[("q1", "quick")] == pytest.approx(1.0)
+    assert got[("q1", "join")] == pytest.approx(1.0)
+    assert got[("q1", "merge")] == pytest.approx(0.5)
+    assert len(got) == 4
+
+
+def test_synonym_expansion_retrieval_recall(spark):
+    from splade_spark.operators.indexing import build_index
+    from splade_spark.operators.query import (
+        expand_queries_with_synonyms,
+        retrieve,
+    )
+
+    docs = spark.createDataFrame(
+        [("a", "the quick fox"), ("b", "unrelated words only")],
+        ["doc_id", "text"],
+    )
+    idx = build_index(docs, id_col="doc_id", text_col="text")
+    qs = spark.createDataFrame([("q", "fast")], ["query_id", "text"])
+    # without expansion: 'fast' is OOV, zero results
+    assert retrieve(idx, qs, k=5).count() == 0
+    syn = spark.createDataFrame([("fast", "quick")], ["term", "syn"])
+    w = expand_queries_with_synonyms(qs, syn)
+    top = retrieve(idx, qs, k=5, query_weights=w).collect()
+    assert [r["doc_id"] for r in top] == ["a"]
