@@ -4120,6 +4120,7 @@ resolved AS (
   SELECT src,
          CASE WHEN regexp_matches(h, '^https?://') THEN h
               WHEN h LIKE '/%' AND h NOT LIKE '//%'
+                   AND regexp_extract(src, '^(https?://[^/]+)', 1) <> ''
                 THEN regexp_extract(src, '^(https?://[^/]+)', 1) || h
               ELSE NULL END AS dst
   FROM hrefs
@@ -4348,6 +4349,7 @@ anch AS (
   SELECT src,
          CASE WHEN regexp_matches(h, '^https?://') THEN h
               WHEN h LIKE '/%' AND h NOT LIKE '//%'
+                   AND regexp_extract(src, '^(https?://[^/]+)', 1) <> ''
                 THEN regexp_extract(src, '^(https?://[^/]+)', 1) || h
               ELSE NULL END AS dst,
          trim(regexp_extract(tag, '>([^<]*)</a>', 1)) AS anchor

@@ -49,18 +49,22 @@ def resolve_href(href: Column, base_url: Column) -> Column:
 
     - absolute ``http://`` / ``https://`` targets pass through verbatim
     - root-relative ``/path`` targets resolve against the page's
-      ``scheme://host``
+      ``scheme://host`` — ONLY when the page URL actually has one; a
+      page whose own URL is not absolute http(s) has no site prefix, so
+      its root-relative hrefs are dropped rather than emitted as
+      malformed bare-path nodes
     - everything else (path-relative, fragments, ``mailto:``,
       ``javascript:``, protocol-relative ``//host``) resolves to NULL and
       is dropped — a curation edge list wants unambiguous targets, not
       best-effort guesses.
     """
     t = F.trim(href)
+    site = site_of(base_url)
     return (
         F.when(t.rlike("^https?://"), t)
         .when(
-            t.startswith("/") & ~t.startswith("//"),
-            F.concat(site_of(base_url), t),
+            t.startswith("/") & ~t.startswith("//") & (site != ""),
+            F.concat(site, t),
         )
         .otherwise(F.lit(None).cast("string"))
     )

@@ -311,12 +311,18 @@ class ShardedServer:
         - a shard where NO query term has postings (ub_s = 0) cannot
           contribute a candidate — skipped outright;
         - remaining shards are visited in DESCENDING ub order; once k
-          results are merged with kth score θ, a shard with
-          float32(ub_s) < θ is skipped — every doc score there is
-          f32(Σf64 products) ≤ f32(ub_s) < θ (rounding is monotone), so
-          it cannot displace the kth result or win the tie-break
-          (``<`` is strict: a θ-tying shard stays visitable because its
-          doc could take the doc_idx tie-break).
+          results are merged with kth score θ, a shard with ub_s < θ is
+          skipped. ub_s mirrors the in-kernel ``_wand_topk`` arithmetic
+          exactly: each term contributes the FLOAT32 product
+          f32(qw)·f32(max_w) (the same product a doc whose weight equals
+          the ceiling would contribute), accumulated in float64 and
+          compared against θ in float64 with NO final f32 downcast.
+          Per-term f32 products dominate the doc's per-term products
+          term-by-term and f64 summation is monotone, so every doc score
+          there satisfies f32(Σ) ≤ f32(ub_s) ≤ ub_s < θ — it cannot
+          displace the kth result or win the tie-break (``<`` is strict:
+          a θ-tying shard stays visitable because its doc could take the
+          doc_idx tie-break).
 
         Results are therefore IDENTICAL to the unrouted fan-out; only
         the number of shards touched changes (``last_shards_visited``).
@@ -338,16 +344,16 @@ class ShardedServer:
                 items = items[: s0.top_k_terms]
             ubs = []
             for si, srv in enumerate(self.servers):
-                ub = 0.0
+                ub = 0.0  # f64 sum of f32 products — _wand_topk parity
                 for tid, qw in items:
                     mw = srv.term_max.get(tid)
                     if mw is not None:
-                        ub += float(qw) * float(mw)
+                        ub += float(np.float32(qw) * np.float32(mw))
                 if ub > 0.0:
                     ubs.append((ub, si))
             ubs.sort(key=lambda p: (-p[0], p[1]))
             candidates = [(si, self.servers[si]) for _, si in ubs]
-            bounds = [np.float32(ub) for ub, _ in ubs]
+            bounds = [ub for ub, _ in ubs]
         docs_parts, score_parts, id_parts = [], [], []
         merged_docs = np.empty(0, dtype=np.int64)
         merged_scores = np.empty(0, dtype=np.float32)

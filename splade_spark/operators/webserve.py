@@ -28,6 +28,8 @@ served results are rank-identical to positional.retrieve_web
 
 from __future__ import annotations
 
+from dataclasses import replace
+
 import numpy as np
 
 from ..config import DEFAULT
@@ -177,7 +179,14 @@ class WebQueryServer:
         cand, csum = uniq[mask], sums[mask]
         if cand.size == 0:
             return empty
-        phrases = parse_web_query(raw)
+        # the index's own max_tokens (from saved meta) must govern the
+        # phrase parse too — an empty-after-tokenize quoted segment is
+        # pruned only under the SAME truncation rule the distributed
+        # retrieve_web(cfg=...) path applies, keeping served/distributed
+        # rank identity for non-default configs.
+        phrases = parse_web_query(
+            raw, replace(DEFAULT, max_tokens=srv.max_tokens)
+        )
         if phrases:
             allowed: set[str] | None = None
             for ph in phrases:
@@ -291,11 +300,17 @@ class ShardedWebServer:
                 tm = node.srv.term_max
                 if any(tid not in tm for tid in qtf):
                     continue  # a missing term kills every AND candidate
-                ub = sum(float(qw) * float(tm[tid]) for tid, qw in qtf.items())
+                # f64 sum of f32 products — mirrors the node's scoring
+                # arithmetic so the strict theta cut stays rank-safe at
+                # ulp granularity (no f32 downcast of the bound).
+                ub = sum(
+                    float(np.float32(qw) * np.float32(tm[tid]))
+                    for tid, qw in qtf.items()
+                )
                 ubs.append((ub, si))
             ubs.sort(key=lambda p: (-p[0], p[1]))
             candidates = [(si, self.nodes[si]) for _, si in ubs]
-            bounds = [np.float32(ub) for ub, _ in ubs]
+            bounds = [ub for ub, _ in ubs]
         merged_d = np.empty(0, dtype=np.int64)
         merged_s = np.empty(0, dtype=np.float32)
         theta = None

@@ -307,3 +307,15 @@ def test_collapse_by_group_k_cut_and_guard(spark):
     ]
     with pytest.raises(ValueError):
         collapse_by_group(results, groups, max_per_group=0)
+
+
+def test_extract_links_non_http_base_drops_root_relative(spark):
+    """ADVICE r4: a page whose own URL is not absolute http(s) has no
+    site prefix — its root-relative hrefs must be DROPPED, not emitted
+    as malformed bare-path '/x' nodes."""
+    pages = [
+        ("warc:rec-001", '<a href="/x">r</a><a href="https://b.ex/y">a</a>'),
+        ("ftp://h/p", '<a href="/only-root-relative">r</a>'),
+    ]
+    got = _edges(spark, pages)
+    assert got == {("warc:rec-001", "https://b.ex/y")}

@@ -73,3 +73,26 @@ def test_routing_visits_all_when_needed(served):
     res = broker.search("common", k=64)
     assert broker.last_shards_visited == 4
     assert len(res) == 64
+
+
+def test_routing_bound_rank_safe_under_f32_rounding(served):
+    """Randomized ulp stress: the broker bound must dominate every doc
+    score on its shard (ADVICE r4 — bound is now a float64 sum of f32
+    products, mirroring _wand_topk, with no final f32 downcast)."""
+    import numpy as np
+
+    broker, single = served
+    rng = np.random.RandomState(7)
+    tids = sorted(single.term_info.values())
+    for trial in range(200):
+        n = rng.randint(1, 6)
+        picks = rng.choice(tids, size=n, replace=False)
+        # weights near f32 rounding boundaries (odd mantissas, tiny and
+        # large magnitudes mixed) to stress product rounding direction
+        ws = rng.choice(
+            [0.1, 0.3, 0.7, 1.0, 3.0000002, 1e-3, 97.3], size=n
+        ) * (1.0 + rng.uniform(-1e-7, 1e-7, size=n))
+        qtf = {int(t): float(w) for t, w in zip(picks, ws)}
+        routed = broker.search_ids(qtf, 5, route=True)
+        full = broker.search_ids(qtf, 5, route=False)
+        assert routed == full, (trial, qtf)

@@ -115,3 +115,46 @@ def test_sharded_web_from_saved_matches_single(spark, served, tmp_path):
     broker = ShardedWebServer.from_saved(spark, idx_dir, pos_dir)
     for qid, raw in WEBQ:
         assert broker.search(raw, k=10) == ws.search(raw, k=10), qid
+
+
+def test_served_matches_distributed_nondefault_max_tokens(spark):
+    """ADVICE r4: the served path must thread the INDEX's max_tokens into
+    parse_web_query (not DEFAULT) so phrase pruning and truncation agree
+    with retrieve_web(cfg=...) for non-default configs."""
+    from dataclasses import replace
+
+    from splade_spark.config import DEFAULT
+
+    cfg = replace(DEFAULT, max_tokens=4)
+    docs_rows = [
+        # token 5+ is beyond the truncation horizon: 'omega' must not
+        # match anything under max_tokens=4
+        ("w1", "red fox jumps high omega target"),
+        ("w2", "red fox jumps high"),
+        ("w3", "blue fox sits low omega"),
+    ]
+    queries = [
+        ("q1", '"red fox" jumps'),
+        ("q2", "omega"),            # OOV under truncation -> empty
+        ("q3", '"fox jumps" high'),
+    ]
+    docs = spark.createDataFrame(docs_rows, "doc_id string, text string")
+    idx = build_index(docs, cfg=cfg)
+    positional = positional_postings(docs, cfg=cfg)
+    dist = {}
+    for r in retrieve_web(idx, positional, queries, k=10, cfg=cfg).collect():
+        dist.setdefault(r["query_id"], []).append(
+            (r["rank"], r["doc_id"], r["score"])
+        )
+    rows = [
+        (r["term"], r["doc_id"], list(r["positions"]))
+        for r in positional.collect()
+    ]
+    srv = LocalIndexServer(idx)
+    assert srv.max_tokens == 4  # meta round-trips the config
+    ws = WebQueryServer(srv, PositionalStore.from_rows(rows))
+    for qid, raw in queries:
+        got = ws.search(raw, k=10)
+        want = [(d, s) for _, d, s in sorted(dist.get(qid, []))]
+        assert [d for d, _ in got] == [d for d, _ in want], qid
+    idx.unpersist()
