@@ -67,28 +67,43 @@ def positional_postings(
     classic tokenization (truncation at ``cfg.max_tokens`` included, so
     the position plane never claims text the scoring index dropped).
 
-    ``terms`` restricts the build to that vocabulary BEFORE the
-    aggregate — the ad-hoc query path (no saved layout) only shuffles
-    the phrase's own tokens instead of the whole token stream."""
+    ``terms`` restricts the build to that vocabulary BEFORE the rows
+    even materialize — the vocabulary filter runs INSIDE the token
+    array (higher-order ``transform`` + ``filter``, whole-stage
+    codegen), so the explode emits only vocabulary hits instead of the
+    full token stream. At 256 tokens/doc and a 30-term phrase
+    vocabulary that is a ~100× cut in generated rows; the ad-hoc query
+    path (no saved layout) then shuffles only the phrase's own tokens."""
     toks = docs.select(
         F.col(id_col).cast("string").alias("doc_id"),
         tokens_col(text_col, cfg.max_tokens).alias("tokens"),
     )
-    pos = toks.select(
-        "doc_id", F.posexplode("tokens").alias("pos0", "term")
-    )
     if terms is not None:
         uniq = sorted(set(terms))
-        if not uniq:
-            return pos.filter(F.lit(False)).groupBy("term", "doc_id").agg(
-                F.sort_array(F.collect_list(F.col("pos0") + 1)).alias(
-                    "positions"
+        hits = F.filter(
+            F.transform(
+                "tokens",
+                lambda t, i: F.struct(
+                    t.alias("term"), (i + 1).cast("int").alias("p")
                 ),
-                F.count(F.lit(1)).cast("int").alias("tf"),
-            )
-        pos = pos.filter(F.col("term").isin(uniq))
+            ),
+            (lambda s: s["term"].isin(uniq))
+            if uniq
+            else (lambda s: F.lit(False)),
+        )
+        pos = toks.select(
+            "doc_id", F.explode(hits).alias("tp")
+        ).select(
+            "doc_id",
+            F.col("tp.term").alias("term"),
+            F.col("tp.p").alias("p"),
+        )
+    else:
+        pos = toks.select(
+            "doc_id", F.posexplode("tokens").alias("pos0", "term")
+        ).select("doc_id", "term", (F.col("pos0") + 1).alias("p"))
     return pos.groupBy("term", "doc_id").agg(
-        F.sort_array(F.collect_list(F.col("pos0") + 1)).alias("positions"),
+        F.sort_array(F.collect_list("p")).alias("positions"),
         F.count(F.lit(1)).cast("int").alias("tf"),
     )
 
