@@ -4639,3 +4639,105 @@ def bm25_topk_synonyms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", F.col("rank").cast("int").alias("rank"),
         F.col("doc_id").cast("bigint").alias("doc_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (LLM pretraining prep, operators/packing.py)
+# ---------------------------------------------------------------------------
+
+_PACK_LEN = 64
+
+_PACK_SQL_DUCK = f"""
+WITH tok AS (
+  SELECT doc_id, len({tokens_sql('text')}) AS dl
+  FROM documents WHERE doc_id < 300
+),
+off AS (
+  SELECT doc_id, dl,
+         COALESCE(SUM(dl) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM tok
+),
+spans AS (
+  SELECT doc_id, dl, off,
+         unnest(range(CAST(off // {_PACK_LEN} AS BIGINT),
+                      CAST((off + dl - 1) // {_PACK_LEN} + 1 AS BIGINT))) AS seq_id
+  FROM off WHERE dl > 0
+)
+SELECT CAST(seq_id AS BIGINT) AS seq_id,
+       doc_id,
+       CAST(dl AS INT) AS n_doc_tokens,
+       CAST(greatest(0, seq_id * {_PACK_LEN} - off) AS INT) AS tok_from,
+       CAST(least(dl, (seq_id + 1) * {_PACK_LEN} - off) AS INT) AS tok_to,
+       CAST(greatest(0, off - seq_id * {_PACK_LEN}) AS INT) AS seq_off
+FROM spans
+"""
+
+
+@register("sequence_packing", _PACK_SQL_DUCK)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing plan (packing.pack_sequences): docs
+    concatenate in ascending doc_id order, the token stream cuts every
+    64 tokens, and each row records which token span of which doc lands
+    where in which training sequence. The Spark plan computes the global
+    token offsets with the terasort prefix-sum (range shuffle +
+    per-partition window + broadcast offsets — no single-partition
+    global window); the oracle re-derives it with a plain window cumsum,
+    pinning span arithmetic exactly (A3 prefix-sum discipline)."""
+    from .operators.packing import pack_sequences
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 300)
+    return pack_sequences(docs, seq_len=_PACK_LEN)
+
+
+_PACK_STATS_SQL_DUCK = f"""
+WITH tok AS (
+  SELECT doc_id, len({tokens_sql('text')}) AS dl
+  FROM documents WHERE doc_id < 300
+),
+off AS (
+  SELECT doc_id, dl,
+         COALESCE(SUM(dl) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM tok
+),
+spans AS (
+  SELECT doc_id, dl, off,
+         unnest(range(CAST(off // {_PACK_LEN} AS BIGINT),
+                      CAST((off + dl - 1) // {_PACK_LEN} + 1 AS BIGINT))) AS seq_id
+  FROM off WHERE dl > 0
+),
+seqs AS (
+  SELECT seq_id,
+         SUM(least(dl, (seq_id + 1) * {_PACK_LEN} - off)
+             - greatest(0, seq_id * {_PACK_LEN} - off)) AS filled,
+         COUNT(*) AS n_docs
+  FROM spans GROUP BY seq_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_sequences,
+       CAST(SUM(filled) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_docs) AS BIGINT) AS total_spans,
+       CAST(MAX(n_docs) AS BIGINT) AS max_docs_per_seq,
+       CAST(round(SUM(filled) * 1000.0 / (COUNT(*) * {_PACK_LEN}), 0)
+            AS BIGINT) AS fill_rate_milli
+FROM seqs
+"""
+
+
+@register("packing_stats", _PACK_STATS_SQL_DUCK)
+def packing_stats_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-plan budget summary (packing.packing_stats): sequence
+    count, packed-token totals, span count, worst-case docs per
+    sequence, and the fill rate (milli-units, rounded BIGINT so the
+    float never enters the hash compare)."""
+    from .operators.packing import pack_sequences, packing_stats
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 300)
+    plan = pack_sequences(docs, seq_len=_PACK_LEN)
+    s = packing_stats(plan, seq_len=_PACK_LEN)
+    return s.select(
+        "n_sequences", "total_tokens", "total_spans", "max_docs_per_seq",
+        F.round(F.col("fill_rate") * 1000.0, 0).cast("bigint").alias(
+            "fill_rate_milli"
+        ),
+    )
