@@ -178,11 +178,10 @@ def main() -> None:
         web_qs.append(f'"{toks[0]} {toks[1]}" {toks[2]}')
     web_vocab = sorted({t for q in web_qs for t in tokenize_py(q)})
     t0 = time.perf_counter()
-    pos_rows = [
-        (r["term"], r["doc_id"], list(r["positions"]))
-        for r in positional_postings(docs, terms=web_vocab).collect()
-    ]
-    wsrv = WebQueryServer(srv, PositionalStore.from_rows(pos_rows))
+    store = PositionalStore.from_positional(
+        positional_postings(docs, terms=web_vocab)
+    )
+    wsrv = WebQueryServer(srv, store)
     web_load_sec = time.perf_counter() - t0
     wsrv.search(web_qs[0], k=DEFAULT.top_k)  # warmup
     web_ms: list[float] = []

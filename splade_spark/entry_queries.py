@@ -4741,3 +4741,102 @@ def packing_stats_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fill_rate_milli"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Web serving extras: prefix completion + SERP facets
+# ---------------------------------------------------------------------------
+
+PREFIXES = ["ha", "s", "par", "val", "zzqx"]
+_PREFIX_VALUES_SQL = ", ".join(f"('{p}')" for p in PREFIXES)
+
+_PREFIX_SQL_DUCK = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({tokens_sql('text')}) AS term FROM documents
+),
+dt AS (SELECT DISTINCT doc_id, term FROM tok),
+df AS (SELECT term, count(*) AS df FROM dt GROUP BY term),
+p AS (SELECT prefix FROM (VALUES {_PREFIX_VALUES_SQL}) AS v(prefix)),
+cand AS (
+  SELECT p.prefix, df.term, df.df
+  FROM p JOIN df ON df.term LIKE p.prefix || '%'
+),
+ranked AS (
+  SELECT prefix, term, df,
+         row_number() OVER (
+           PARTITION BY prefix ORDER BY df DESC, term ASC
+         ) AS rank
+  FROM cand
+)
+SELECT prefix, CAST(rank AS INT) AS rank, term AS suggestion,
+       CAST(df AS BIGINT) AS df
+FROM ranked WHERE rank <= 5
+"""
+
+
+@register("prefix_suggest", _PREFIX_SQL_DUCK)
+def prefix_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search-box auto-completion (spell.prefix_suggestions): the top-5
+    most-frequent index-dictionary terms extending each typed prefix,
+    ranked (df desc, term asc). The prefix batch broadcasts onto a
+    two-column dictionary scan — no explode, no gram table; the oracle
+    recomputes df from the corpus and ranks with the same window. The
+    no-match prefix contributes zero rows on both engines."""
+    from .operators.indexing import build_index
+    from .operators.spell import prefix_suggestions
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    idx = build_index(docs, id_col="doc_id", text_col="text")
+    pdf = spark.createDataFrame([(p,) for p in PREFIXES], "prefix string")
+    out = prefix_suggestions(idx.term_dict, pdf, topn=5)
+    return out.select(
+        "prefix", F.col("rank").cast("int").alias("rank"), "suggestion",
+        F.col("df").cast("bigint").alias("df"),
+    )
+
+
+_FACETS_SQL_DUCK = (
+    _BM25_BODY.replace("{TOK}", tokens_sql("text"))
+    .replace("{QTOK}", tokens_sql("qtext"))
+    .replace("{STR}", "VARCHAR").replace("{UNNEST}", "unnest")
+    + f"""
+, top AS (SELECT query_id, doc_id FROM ranked WHERE rank <= {TOPK}),
+j AS (
+  SELECT t.query_id, d.lang, d.source
+  FROM top t JOIN documents d USING (doc_id)
+),
+stacked AS (
+  SELECT query_id, 'lang' AS facet,
+         COALESCE(lang, '(none)') AS value FROM j
+  UNION ALL
+  SELECT query_id, 'source' AS facet,
+         COALESCE(source, '(none)') AS value FROM j
+)
+SELECT query_id, facet, value, CAST(count(*) AS BIGINT) AS n
+FROM stacked GROUP BY query_id, facet, value
+"""
+)
+
+
+@register("serp_facets", _FACETS_SQL_DUCK)
+def serp_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query facet counts over the BM25 top-k result set
+    (facets.facet_counts): the ranked ids broadcast onto the documents
+    metadata (lang, source), stack one row per facet, and aggregate on
+    (query, facet, value) — the corpus never shuffles. NULL facet
+    values count under '(none)' identically in both engines; the top-k
+    set itself is the rank-pinned bm25_topk_engine set."""
+    from .operators.facets import facet_counts
+    from .operators.indexing import build_index
+    from .operators.query import retrieve
+
+    docs = _docs(spark, sf_dir)
+    idx = build_index(docs.select("doc_id", "text"),
+                      id_col="doc_id", text_col="text")
+    queries = spark.createDataFrame(
+        BM25_QUERIES, "query_id string, text string"
+    )
+    res = retrieve(idx, queries, k=TOPK)
+    return facet_counts(
+        res, docs, facet_cols=["lang", "source"], id_col="doc_id"
+    )

@@ -94,3 +94,42 @@ def term_suggestions(
         .select("qterm", "rank", F.col("term").alias("suggestion"),
                 "df", "jaccard")
     )
+
+
+def prefix_suggestions(
+    term_dict: DataFrame,
+    prefixes: DataFrame,
+    *,
+    prefix_col: str = "prefix",
+    topn: int = 5,
+) -> DataFrame:
+    """Query auto-completion over the index dictionary:
+    ``(prefix, rank, suggestion, df)`` — the ``topn`` most-frequent
+    dictionary terms extending each prefix, ranked (df desc, term asc).
+
+    The serving analogue of a search box's completion dropdown. The
+    prefix batch is tiny by contract and broadcasts; the dictionary side
+    is a single ``startswith`` semi-filter — no explode, no gram table,
+    one window over (prefix)-partitioned candidates. A fleet would back
+    this with a sorted term file per shard (the dictionary IS already
+    sorted by term_id = term rank); here the declarative filter lets
+    Catalyst prune the dictionary scan to the two needed columns.
+
+    An exact-match term counts as its own completion (a search box shows
+    the typed word when it exists). Empty prefixes are dropped — they
+    would return the global top-df table, which is a different query
+    (``term_df_top100``).
+    """
+    p = prefixes.select(
+        F.col(prefix_col).cast("string").alias("prefix")
+    ).filter(F.col("prefix") != "").distinct()
+    cand = F.broadcast(p).join(
+        term_dict.select("term", "df"),
+        F.col("term").startswith(F.col("prefix")),
+    )
+    w = Window.partitionBy("prefix").orderBy(F.desc("df"), F.asc("term"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topn)
+        .select("prefix", "rank", F.col("term").alias("suggestion"), "df")
+    )

@@ -158,3 +158,14 @@ def test_served_matches_distributed_nondefault_max_tokens(spark):
         want = [(d, s) for _, d, s in sorted(dist.get(qid, []))]
         assert [d for d, _ in got] == [d for d, _ in want], qid
     idx.unpersist()
+
+
+def test_store_from_positional_matches_from_rows(spark, served):
+    docs, idx, positional, ws = served
+    a = ws.store
+    b = PositionalStore.from_positional(positional)
+    assert set(a.by_term) == set(b.by_term)
+    for t, m in a.by_term.items():
+        assert set(m) == set(b.by_term[t])
+        for d, ps in m.items():
+            assert (ps == b.by_term[t][d]).all()
