@@ -51,6 +51,8 @@ HEADLINE = [
     "phrase_match",            # positional-plane exact phrase (r4)
     "bm25_topk_web",           # phrase AND terms composite retrieval (r4)
     "link_pagerank",           # link-graph power iteration (r4)
+    "sequence_packing",        # pretraining pack plan, terasort prefix sum (r5)
+    "serp_facets",             # per-query facet counts over ranked results (r5)
     "lineitem_pricing_agg",    # relational agg w/ pushed filter
     "top_orders_per_priority", # per-group top-k window
 ]
