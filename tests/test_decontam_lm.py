@@ -226,3 +226,32 @@ def test_embedding_near_dup_pairs_modes(spark):
     ).collect()))
     assert r1 == r2
     assert all(a != b for a, b, _ in r1)
+
+
+def test_related_terms_pmi_hand_example(spark):
+    """PMI over presence pairs on a hand-computable corpus: seed 'a'
+    co-occurs with 'b' in 2 docs and with 'c' in 3; 'stop' (df=5 of 5)
+    falls to the df cap; singleton co-occurrence falls to min_cooc."""
+    import math
+
+    from splade_spark.operators.lm import related_terms
+
+    rows = [
+        ("d1", "a b c stop"),
+        ("d2", "a b c stop"),
+        ("d3", "a c rare stop"),
+        ("d4", "b c stop"),
+        ("d5", "c stop"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    seeds = spark.createDataFrame([("a",), ("zz",)], "seed string")
+    out = related_terms(
+        docs, seeds, topn=5, min_cooc=2, max_df_frac=0.8
+    ).collect()
+    got = {(r["seed"], r["rank"]): (r["term"], r["cooc"], r["pmi_micro"])
+           for r in out}
+    # df: a=3, b=3, c=5, rare=1, stop=5 (cap = floor(0.8*5) = 4 -> c,
+    # stop dropped); cooc(a,b)=2, cooc(a,c)=3 (c capped),
+    # cooc(a,rare)=1 (< min_cooc), cooc(a,stop)=3 (capped)
+    pmi_ab = round(math.log(5 * 2 / (3 * 3)) * 1_000_000)
+    assert got == {("a", 1): ("b", 2, pmi_ab)}
