@@ -54,21 +54,27 @@ def facet_counts(
         *[F.col(c) for c in facet_cols],
     )
     joined = r.join(m, "_fid")
-    # one pass per facet over the (already tiny) joined set; the union
-    # is a plan-level concat, not an extra shuffle of the corpus
-    parts = [
-        joined.select(
-            "query_id",
-            F.lit(c).alias("facet"),
-            F.coalesce(F.col(c).cast("string"), F.lit("(none)")).alias(
-                "value"
-            ),
+    # ONE pass over the joined set: explode an inline (facet, value)
+    # struct array instead of a per-facet Union — a Union would
+    # duplicate the metadata scan + broadcast join once per facet
+    # (plan-audited), the generate does not
+    fv = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("facet"),
+                    F.coalesce(
+                        F.col(c).cast("string"), F.lit("(none)")
+                    ).alias("value"),
+                )
+                for c in facet_cols
+            ]
         )
-        for c in facet_cols
-    ]
-    stacked = parts[0]
-    for p in parts[1:]:
-        stacked = stacked.unionByName(p)
-    return stacked.groupBy("query_id", "facet", "value").agg(
-        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    return (
+        joined.select("query_id", fv.alias("fv"))
+        .select("query_id", F.col("fv.facet").alias("facet"),
+                F.col("fv.value").alias("value"))
+        .groupBy("query_id", "facet", "value")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )

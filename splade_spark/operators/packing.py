@@ -26,9 +26,14 @@ partition; this module reuses the terasort pattern from
 sortWithinPartitions → one small per-partition totals job → driver
 prefix-sums the per-PARTITION token totals (one long per partition) →
 broadcast the offsets back. The in-partition cumsum is a window
-partitioned BY the physical partition, so it runs fully parallel. One
-range shuffle total; the explode that follows emits one row per
-(doc, overlapped sequence) — ~1 + dl/seq_len rows per doc.
+partitioned BY the physical partition, so it runs fully parallel
+(plan-audited: Window(partitionBy _pid) + BroadcastHashJoin for the
+offsets). Catalyst cannot see the checkpointed RDD's partitioning, so
+the window inserts one extra hash exchange on _pid — but that shuffle
+carries only (key, dl, pid, row), never the corpus, and hashing on
+_pid keeps whole partitions together. Two narrow shuffles total; the
+explode that follows emits one row per (doc, overlapped sequence) —
+~1 + dl/seq_len rows per doc.
 """
 
 from __future__ import annotations
