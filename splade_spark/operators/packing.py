@@ -132,15 +132,16 @@ def pack_sequences(
         .filter(F.col("dl") > 0)
     )
     L = F.lit(int(seq_len)).cast("long")
+    # integer `div`, not float division: Divide on longs promotes to
+    # double, which mis-rounds offsets past 2^53 — the module claims
+    # 10^12-row scale, so the span bounds stay in exact long arithmetic
+    n = int(seq_len)
     spans = off.select(
         "_key",
         "dl",
         "off",
         F.explode(
-            F.sequence(
-                (F.col("off") / L).cast("long"),
-                ((F.col("off") + F.col("dl") - 1) / L).cast("long"),
-            )
+            F.expr(f"sequence(off div {n}, (off + dl - 1) div {n})")
         ).alias("seq_id"),
     )
     return spans.select(

@@ -311,18 +311,22 @@ class ShardedServer:
         - a shard where NO query term has postings (ub_s = 0) cannot
           contribute a candidate — skipped outright;
         - remaining shards are visited in DESCENDING ub order; once k
-          results are merged with kth score θ, a shard with ub_s < θ is
-          skipped. ub_s mirrors the in-kernel ``_wand_topk`` arithmetic
-          exactly: each term contributes the FLOAT32 product
-          f32(qw)·f32(max_w) (the same product a doc whose weight equals
-          the ceiling would contribute), accumulated in float64 and
-          compared against θ in float64 with NO final f32 downcast.
-          Per-term f32 products dominate the doc's per-term products
-          term-by-term and f64 summation is monotone, so every doc score
-          there satisfies f32(Σ) ≤ f32(ub_s) ≤ ub_s < θ — it cannot
-          displace the kth result or win the tie-break (``<`` is strict:
-          a θ-tying shard stays visitable because its doc could take the
-          doc_idx tie-break).
+          results are merged with kth score θ, a shard with
+          f32(ub_s) < θ is skipped. ub_s mirrors the in-kernel
+          ``_wand_topk`` arithmetic exactly: each term contributes the
+          FLOAT32 product f32(qw)·f32(max_w) (the same product a doc
+          whose weight equals the ceiling would contribute), accumulated
+          in float64, and the BOUND is downcast to float32 before the
+          strict compare — because shard scores are themselves f32
+          downcasts. The safety chain: per-term f32 products dominate
+          the doc's products term-by-term, f64 summation is monotone,
+          and f32 rounding is monotone, so every doc score there
+          satisfies f32(Σ) ≤ f32(ub_s) < θ. Comparing the RAW f64 ub_s
+          instead would be wrong at the tie boundary: a ceiling doc's
+          score f32(ub_s) can round UP above ub_s, so ub_s < θ =
+          f32(ub_s) would skip a shard whose doc ties θ and wins the
+          doc_idx tie-break (``<`` is strict: a θ-tying shard stays
+          visitable for exactly that reason).
 
         Results are therefore IDENTICAL to the unrouted fan-out; only
         the number of shards touched changes (``last_shards_visited``).
@@ -353,7 +357,7 @@ class ShardedServer:
                     ubs.append((ub, si))
             ubs.sort(key=lambda p: (-p[0], p[1]))
             candidates = [(si, self.servers[si]) for _, si in ubs]
-            bounds = [ub for ub, _ in ubs]
+            bounds = [np.float32(ub) for ub, _ in ubs]
         docs_parts, score_parts, id_parts = [], [], []
         merged_docs = np.empty(0, dtype=np.int64)
         merged_scores = np.empty(0, dtype=np.float32)

@@ -28,6 +28,7 @@ served results are rank-identical to positional.retrieve_web
 
 from __future__ import annotations
 
+from collections.abc import Iterable
 from dataclasses import replace
 
 import numpy as np
@@ -75,7 +76,7 @@ class PositionalStore:
 
     @classmethod
     def from_rows(
-        cls, rows: list[tuple[str, str, list[int]]]
+        cls, rows: "Iterable[tuple[str, str, list[int]]]"
     ) -> "PositionalStore":
         """(term, doc_id, ascending positions) rows — the test/demo path
         (collect a positional_postings DataFrame)."""
@@ -93,14 +94,13 @@ class PositionalStore:
         numpy arrays already; Row-object collection measured ~5x slower
         at 10^6 (term, doc) rows."""
         pdf = positional.select("term", "doc_id", "positions").toPandas()
-        by_term: dict[str, dict[str, np.ndarray]] = {}
-        for t, d, ps in zip(
-            pdf["term"].tolist(),
-            pdf["doc_id"].tolist(),
-            pdf["positions"].tolist(),
-        ):
-            by_term.setdefault(t, {})[d] = np.asarray(ps, dtype=np.int64)
-        return cls(by_term)
+        return cls.from_rows(
+            zip(
+                pdf["term"].tolist(),
+                pdf["doc_id"].tolist(),
+                pdf["positions"].tolist(),
+            )
+        )
 
     def docs_with_phrase(self, ptoks: list[str]) -> set[str]:
         """doc_ids containing the exact phrase. Intersection walks start
@@ -318,9 +318,13 @@ class ShardedWebServer:
                 tm = node.srv.term_max
                 if any(tid not in tm for tid in qtf):
                     continue  # a missing term kills every AND candidate
-                # f64 sum of f32 products — mirrors the node's scoring
-                # arithmetic so the strict theta cut stays rank-safe at
-                # ulp granularity (no f32 downcast of the bound).
+                # f64 sum of f32 products, downcast to f32 — exactly the
+                # node's scoring arithmetic, so the strict theta cut is
+                # rank-safe at ulp granularity INCLUDING the tie
+                # boundary: scores are f32(sum) and f32 rounding is
+                # monotone, so score <= f32(ub); comparing the raw f64
+                # ub instead could skip a shard whose ceiling doc rounds
+                # up to exactly theta (see sharding.search_ids).
                 ub = sum(
                     float(np.float32(qw) * np.float32(tm[tid]))
                     for tid, qw in qtf.items()
@@ -328,7 +332,7 @@ class ShardedWebServer:
                 ubs.append((ub, si))
             ubs.sort(key=lambda p: (-p[0], p[1]))
             candidates = [(si, self.nodes[si]) for _, si in ubs]
-            bounds = [ub for ub, _ in ubs]
+            bounds = [np.float32(ub) for ub, _ in ubs]
         merged_d = np.empty(0, dtype=np.int64)
         merged_s = np.empty(0, dtype=np.float32)
         theta = None

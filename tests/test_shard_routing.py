@@ -96,3 +96,26 @@ def test_routing_bound_rank_safe_under_f32_rounding(served):
         routed = broker.search_ids(qtf, 5, route=True)
         full = broker.search_ids(qtf, 5, route=False)
         assert routed == full, (trial, qtf)
+
+
+def test_bound_downcast_keeps_theta_tying_shard_visitable():
+    """The broker bound MUST be the f32 downcast of the f64 sum of f32
+    products: a ceiling doc's served score is f32(sum), which can round
+    UP above the raw f64 sum — comparing the raw f64 bound against a
+    theta equal to that score would skip a shard whose doc ties theta
+    (and could win the doc_idx tie-break). Numeric witness: products
+    1.0 and 3*2^-24 put the f64 sum half an ulp BELOW its own f32
+    rounding."""
+    import numpy as np
+
+    prods = [
+        np.float32(np.float32(1.0) * np.float32(1.0)),
+        np.float32(np.float32(1.0) * np.float32(3 * 2.0 ** -24)),
+    ]
+    ub64 = float(np.float64(prods[0]) + np.float64(prods[1]))
+    ceiling_score = np.float32(ub64)  # what _wand_topk returns for it
+    theta = ceiling_score
+    # implemented bound (f32 downcast): tie stays visitable
+    assert not (np.float32(ub64) < theta)
+    # raw f64 bound would have skipped the tying shard
+    assert ub64 < float(theta)
