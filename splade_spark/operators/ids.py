@@ -21,13 +21,65 @@ one long per partition.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # monotonically_increasing_id layout: upper bits = partition id, lower 33
 # bits = row index within the partition (consecutive from 0)
 _ROW_BITS = 33
 _ROW_MASK = (1 << _ROW_BITS) - 1
+
+
+def ranged_prefix_offsets(
+    df: DataFrame,
+    key: str,
+    num_partitions: int,
+    measures: dict[str, Column],
+    checkpoint: bool = True,
+) -> tuple[DataFrame, DataFrame, dict[str, int]]:
+    """The terasort prefix-sum scaffold shared by every global-prefix
+    operator (doc numbering here, the fused build numbering in
+    operators/indexing.py, sequence packing in operators/packing.py):
+
+      repartitionByRange(key) → sortWithinPartitions(key) → lazy
+      localCheckpoint → ONE small per-partition aggregation job →
+      driver-side prefix sums (one long per partition per measure).
+
+    ``measures`` maps name → aggregate Column (e.g. ``F.count(lit(1))``,
+    ``F.sum("dl")``). Returns ``(ranged, offsets_df, totals)`` where
+    ``offsets_df`` is the tiny broadcastable table
+    ``(_pid, <name>_off …)`` holding each measure's EXCLUSIVE prefix sum
+    in partition order, and ``totals`` the grand totals.
+
+    The checkpoint is the scaffold's load-bearing invariant (see
+    assign_global_ids below for the full failure modes): without it the
+    counts job and later data jobs re-sample range boundaries under
+    different column-pruned plans and the per-partition offsets no
+    longer describe the data the join sees. Callers that skip it
+    (``checkpoint=False``) take on that risk knowingly.
+    """
+    names = list(measures)
+    ranged = df.repartitionByRange(
+        num_partitions, F.col(key)
+    ).sortWithinPartitions(key)
+    if checkpoint:
+        ranged = ranged.localCheckpoint(eager=False)
+    rows = (
+        ranged.groupBy(F.spark_partition_id().alias("_pid"))
+        .agg(*[expr.alias(n) for n, expr in measures.items()])
+        .collect()
+    )
+    accs = {n: 0 for n in names}
+    offsets = []
+    for r in sorted(rows, key=lambda r: r["_pid"]):
+        offsets.append(
+            tuple([int(r["_pid"])] + [accs[n] for n in names])
+        )
+        for n in names:
+            accs[n] += int(r[n] or 0)
+    schema = ", ".join(["_pid INT"] + [f"{n}_off LONG" for n in names])
+    offsets_df = df.sparkSession.createDataFrame(offsets, schema)
+    return ranged, offsets_df, accs
 
 
 def assign_global_ids(
@@ -58,24 +110,11 @@ def assign_global_ids(
     """
     spark = df.sparkSession
     n_part = num_partitions or spark.sparkContext.defaultParallelism
-    ranged = df.repartitionByRange(n_part, F.col(key)).sortWithinPartitions(key)
-    if persist:
-        # eager=False: materializes inside the counts job below (single
-        # pass), then the lineage is truncated at the checkpointed blocks
-        ranged = ranged.localCheckpoint(eager=False)
-    counts = (
-        ranged.select(F.spark_partition_id().alias("_pid"))
-        .groupBy("_pid")
-        .count()
-        .collect()
+    # eager=False checkpoint: materializes inside the counts job (single
+    # pass), then the lineage is truncated at the checkpointed blocks
+    ranged, offsets_df, _totals = ranged_prefix_offsets(
+        df, key, n_part, {"_n": F.count(F.lit(1))}, checkpoint=persist
     )
-    offsets = []
-    acc = 0
-    for row in sorted(counts, key=lambda r: r["_pid"]):
-        offsets.append((row["_pid"], acc))
-        acc += row["count"]
-    offsets_df = spark.createDataFrame(offsets, "_pid INT, _offset LONG")
-
     numbered = ranged.select(
         "*",
         F.spark_partition_id().alias("_pid"),
@@ -83,6 +122,6 @@ def assign_global_ids(
     )
     return (
         numbered.join(F.broadcast(offsets_df), "_pid")
-        .withColumn(id_col, (F.col("_offset") + F.col("_row")).cast("long"))
-        .drop("_pid", "_row", "_offset")
+        .withColumn(id_col, (F.col("_n_off") + F.col("_row")).cast("long"))
+        .drop("_pid", "_row", "_n_off")
     )

@@ -51,7 +51,7 @@ from pyspark.sql.window import Window
 from ..config import DEFAULT, TERMS_PER_TOKEN_BOUND, EngineConfig
 from ..functions.codec import encode_block
 from ..functions.tokenize import tokens_col
-from .ids import _ROW_MASK, assign_global_ids
+from .ids import _ROW_MASK, assign_global_ids, ranged_prefix_offsets
 
 POSTINGS_SCHEMA = (
     "term_id BIGINT, block_id INT, n_postings INT, min_doc BIGINT, "
@@ -141,29 +141,19 @@ def _number_docs_with_stats(
     two — counts, Σdl and doc totals come from the same scan of the
     persisted ranged sort). Same terasort numbering contract as
     ids.assign_global_ids: doc_idx = rank of doc_id ascending."""
-    spark = toks.sparkSession
-    # localCheckpoint, not persist: same id-stability + cache-invalidation
-    # rationale as ids.assign_global_ids (lazy — materializes in the
-    # counts job below, one pass over the tokenize)
-    ranged = toks.repartitionByRange(
-        num_partitions, F.col("doc_id")
-    ).sortWithinPartitions("doc_id").localCheckpoint(eager=False)
-    counts = (
-        ranged.select(F.spark_partition_id().alias("_pid"), "dl")
-        .groupBy("_pid")
-        .agg(F.count(F.lit(1)).alias("count"), F.sum("dl").alias("sum_dl"))
-        .collect()
+    # shared terasort scaffold (ids.ranged_prefix_offsets) with the
+    # corpus-stats totals riding the same per-partition counts job; the
+    # lazy localCheckpoint inside it carries the id-stability +
+    # cache-invalidation rationale documented on ids.assign_global_ids
+    ranged, offsets_df, totals = ranged_prefix_offsets(
+        toks, "doc_id", num_partitions,
+        {"_n": F.count(F.lit(1)), "_dl": F.sum("dl")},
     )
-    n_docs = int(sum(r["count"] for r in counts))
+    n_docs = totals["_n"]
     if n_docs == 0:
         raise ValueError("build_index: corpus is empty — nothing to index")
-    total_tokens = int(sum(r["sum_dl"] for r in counts))
+    total_tokens = totals["_dl"]
     avgdl = total_tokens / n_docs
-    offsets, acc = [], 0
-    for row in sorted(counts, key=lambda r: r["_pid"]):
-        offsets.append((row["_pid"], acc))
-        acc += row["count"]
-    offsets_df = spark.createDataFrame(offsets, "_pid INT, _offset LONG")
     numbered = ranged.select(
         "*",
         F.spark_partition_id().alias("_pid"),
@@ -171,8 +161,8 @@ def _number_docs_with_stats(
     )
     numbered = (
         numbered.join(F.broadcast(offsets_df), "_pid")
-        .withColumn("doc_idx", (F.col("_offset") + F.col("_row")).cast("long"))
-        .drop("_pid", "_row", "_offset")
+        .withColumn("doc_idx", (F.col("_n_off") + F.col("_row")).cast("long"))
+        .drop("_pid", "_row", "_n_off", "_dl_off")
     )
     return numbered, (n_docs, avgdl, total_tokens)
 

@@ -43,7 +43,7 @@ from pyspark.sql import functions as F
 
 from ..config import DEFAULT, EngineConfig
 from ..functions.tokenize import tokens_col
-from .ids import _ROW_MASK  # monotonically_increasing_id row decomposition
+from .ids import _ROW_MASK, ranged_prefix_offsets
 
 
 def pack_sequences(
@@ -81,28 +81,13 @@ def pack_sequences(
         F.col(id_col).alias("_key"),
         F.size(tokens_col(text_col, cfg.max_tokens)).cast("long").alias("dl"),
     )
-    # terasort prefix sum of dl in _key order (see module docstring):
-    # materialized ranged sort, else the counts job and the data job
-    # would re-sample different range boundaries (ids.assign_global_ids
-    # documents the failure mode).
-    ranged = (
-        dl.repartitionByRange(n_part, F.col("_key"))
-        .sortWithinPartitions("_key")
-        .localCheckpoint(eager=False)
+    # terasort prefix sum of dl in _key order — the shared scaffold
+    # (ids.ranged_prefix_offsets) whose lazy checkpoint guards against
+    # range-boundary re-sampling across jobs (failure modes documented
+    # on ids.assign_global_ids).
+    ranged, offsets_df, _totals = ranged_prefix_offsets(
+        dl, "_key", n_part, {"_tok": F.sum("dl")}
     )
-    totals = (
-        ranged.select(F.spark_partition_id().alias("_pid"), "dl")
-        .groupBy("_pid")
-        .agg(F.sum("dl").alias("tok"))
-        .collect()
-    )
-    offsets, acc = [], 0
-    for row in sorted(totals, key=lambda r: r["_pid"]):
-        offsets.append((row["_pid"], acc))
-        acc += int(row["tok"])
-    if not offsets:
-        offsets = [(0, 0)]
-    offsets_df = spark.createDataFrame(offsets, "_pid INT, _tok_off LONG")
 
     # in-partition cumulative offset: window partitioned by the PHYSICAL
     # partition id — parallel across partitions, ordered by (_key) which
