@@ -4867,7 +4867,7 @@ _GATE_FRONT = [
     "bm25_topk_merged", "bm25_topk_deduped", "bm25_resumable_engine",
     "bm25_topk_sharded_dist", "splade_topk_engine", "splade_pooled_terms",
     "dedup_clusters", "minhash_band_pairs", "retrieval_metrics_bm25",
-    "html_text_extraction", "related_terms_pmi", "ann_ivf_topk",
+    "html_text_extraction", "related_terms_pmi", "packed_sequences",
     # never-driver-gated before round 5 (added after the r4 cutoff)
     "events_running_sum", "url_canonicalize", "url_latest_snapshot",
     "host_doc_stats", "streaming_latest_snapshot", "repetition_quality",
@@ -4962,6 +4962,60 @@ def related_terms_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return related_terms(docs, seeds, topn=5, min_cooc=2, max_df_frac=0.9)
 
+
+
+_PACKED_TEXT_SQL_DUCK = f"""
+WITH tok AS (
+  SELECT doc_id, {tokens_sql('text')} AS t
+  FROM documents WHERE doc_id < 300
+),
+off AS (
+  SELECT doc_id, t, len(t) AS dl,
+         COALESCE(SUM(len(t)) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM tok
+),
+spans AS (
+  SELECT doc_id, t, dl, off,
+         unnest(range(CAST(off // {_PACK_LEN} AS BIGINT),
+                      CAST((off + dl - 1) // {_PACK_LEN} + 1 AS BIGINT)))
+           AS seq_id
+  FROM off WHERE dl > 0
+),
+frags AS (
+  SELECT seq_id,
+         greatest(0, off - seq_id * {_PACK_LEN}) AS seq_off,
+         list_slice(t,
+             greatest(0, seq_id * {_PACK_LEN} - off) + 1,
+             least(dl, (seq_id + 1) * {_PACK_LEN} - off)) AS frag,
+         least(dl, (seq_id + 1) * {_PACK_LEN} - off)
+           - greatest(0, seq_id * {_PACK_LEN} - off) AS flen
+  FROM spans
+)
+SELECT CAST(seq_id AS BIGINT) AS seq_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(flen) AS BIGINT) AS n_filled,
+       string_agg(array_to_string(frag, ' '), ' ' ORDER BY seq_off)
+         AS seq_text
+FROM frags GROUP BY seq_id
+"""
+
+
+@register("packed_sequences", _PACKED_TEXT_SQL_DUCK)
+def packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized packed training examples (packing.materialize_packed
+    over the pack_sequences plan): per-sequence space-joined token
+    payload assembled from per-span slices — the plan joins the corpus
+    on the doc key, spans slice JVM-side, one shuffle on seq_id
+    reassembles fragments in seq_off order (sort_array over structs, no
+    Window). The oracle re-derives the whole chain with a window cumsum
+    + list_slice + ordered string_agg; the value hash pins every token
+    of every sequence."""
+    from .operators.packing import materialize_packed, pack_sequences
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 300)
+    plan = pack_sequences(docs, seq_len=_PACK_LEN)
+    return materialize_packed(docs, plan, seq_len=_PACK_LEN)
 
 # Run the gate-order rotation LAST, after every @register call, so any
 # entry added later in the file (or a future round) is present before the

@@ -166,3 +166,68 @@ def packing_stats(plan: DataFrame, *, seq_len: int) -> DataFrame:
             / (F.count(F.lit(1)) * F.lit(int(seq_len)))
         ).alias("fill_rate"),
     )
+
+
+def materialize_packed(
+    docs: DataFrame,
+    plan: DataFrame,
+    *,
+    seq_len: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    cfg: EngineConfig = DEFAULT,
+) -> DataFrame:
+    """Turn a packing plan into the training examples themselves:
+    ``(seq_id, n_docs, n_filled, seq_text)`` — one row per sequence,
+    ``seq_text`` the space-joined tokens of the sequence's spans in
+    stream order (every sequence except the last carries exactly
+    ``seq_len`` tokens; padding stays the writer's policy).
+
+    One pass: the plan joins the corpus on the doc key (both sides
+    hash-partition on it; the plan is ~1 + dl/seq_len rows per doc),
+    each row slices its span out of the doc's token array JVM-side, and
+    one shuffle on ``seq_id`` reassembles fragments in ``seq_off``
+    order via sort_array over (seq_off, fragment) structs — no
+    Window, no Python. Token payload is materialized exactly once per
+    token (spans are disjoint per doc by construction)."""
+    if seq_len <= 0:
+        raise ValueError(f"seq_len must be positive, got {seq_len}")
+    toks = docs.select(
+        F.col(id_col).alias("_key"),
+        tokens_col(text_col, cfg.max_tokens).alias("_tokens"),
+    )
+    frags = (
+        plan.select(
+            "seq_id",
+            F.col(id_col).alias("_key"),
+            "tok_from",
+            "tok_to",
+            "seq_off",
+        )
+        .join(toks, "_key")
+        .select(
+            "seq_id",
+            "seq_off",
+            F.slice(
+                "_tokens",
+                F.col("tok_from") + 1,
+                F.col("tok_to") - F.col("tok_from"),
+            ).alias("_frag"),
+        )
+    )
+    assembled = frags.groupBy("seq_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size("_frag")).cast("long").alias("n_filled"),
+        F.array_join(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("seq_off", "_frag"))
+                    ),
+                    lambda s: s["_frag"],
+                )
+            ),
+            " ",
+        ).alias("seq_text"),
+    )
+    return assembled.select("seq_id", "n_docs", "n_filled", "seq_text")

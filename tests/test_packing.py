@@ -110,3 +110,35 @@ def test_empty_and_bad_args(spark):
         pack_sequences(docs, seq_len=0)
     with pytest.raises(ValueError):
         packing_stats(docs, seq_len=-1)
+
+
+def test_materialize_packed_reassembles_stream(spark, plan):
+    """Concatenating seq_text in seq_id order must reproduce the exact
+    token stream of the corpus in doc_id order; every sequence except
+    the last is exactly full."""
+    from splade_spark.operators.packing import materialize_packed
+
+    docs = spark.createDataFrame(DOCS, "doc_id string, text string")
+    rows = {
+        r["seq_id"]: r
+        for r in materialize_packed(
+            docs, pack_sequences(docs, seq_len=L), seq_len=L
+        ).collect()
+    }
+    stream = [
+        t for _, text in sorted(DOCS) for t in tokenize_py(text)
+    ]
+    rebuilt = []
+    for s in sorted(rows):
+        r = rows[s]
+        toks = r["seq_text"].split(" ")
+        assert r["n_filled"] == len(toks)
+        if s < max(rows):
+            assert r["n_filled"] == L
+        rebuilt.extend(toks)
+    assert rebuilt == stream
+    # span counts agree with the plan
+    from collections import Counter
+
+    plan_docs = Counter(s for s, *_ in plan)
+    assert {s: rows[s]["n_docs"] for s in rows} == dict(plan_docs)
