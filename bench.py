@@ -52,6 +52,8 @@ HEADLINE = [
     "bm25_topk_web",           # phrase AND terms composite retrieval (r4)
     "link_pagerank",           # link-graph power iteration (r4)
     "sequence_packing",        # pretraining pack plan, terasort prefix sum (r5)
+    "packed_sequences",        # plan -> materialized packed examples (r5)
+    "related_terms_pmi",       # related searches by seed-anchored PMI (r5)
     "serp_facets",             # per-query facet counts over ranked results (r5)
     "lineitem_pricing_agg",    # relational agg w/ pushed filter
     "top_orders_per_priority", # per-group top-k window
