@@ -142,3 +142,24 @@ def test_materialize_packed_reassembles_stream(spark, plan):
 
     plan_docs = Counter(s for s, *_ in plan)
     assert {s: rows[s]["n_docs"] for s in rows} == dict(plan_docs)
+
+
+def test_pack_sequences_randomized_vs_mirror(spark):
+    """Seeded random corpora × several seq_lens against the sequential
+    Python mirror — catches span-arithmetic edge cases (docs exactly on
+    a boundary, single-token docs, empty docs, L=1)."""
+    import random
+
+    rng = random.Random(11)
+    for trial, L_ in [(0, 1), (1, 5), (2, 16)]:
+        rows = []
+        for i in range(60):
+            n = rng.choice([0, 1, 2, 3, 7, 15, 16, 17, 40])
+            rows.append(
+                (f"r{trial}-{i:03d}", " ".join(f"t{j}" for j in range(n)))
+            )
+        docs = spark.createDataFrame(rows, "doc_id string, text string")
+        got = sorted(
+            map(tuple, pack_sequences(docs, seq_len=L_).collect())
+        )
+        assert got == _mirror(rows, L_), (trial, L_)
